@@ -1,0 +1,138 @@
+"""Round-trip tests for delta-of-delta + Gorilla XOR compression
+(FIXTURES.md §5: exact equality gate, adversarial cases included)."""
+
+import numpy as np
+import pytest
+
+from light_curve_spark.kernels import (
+    decode_chunk,
+    decode_timestamps,
+    decode_values,
+    encode_chunk,
+    encode_timestamps,
+    encode_values,
+)
+
+
+def ts_roundtrip(t):
+    t = np.asarray(t, dtype=np.int64)
+    out = decode_timestamps(encode_timestamps(t))
+    assert out.dtype == np.int64
+    assert out.tolist() == t.tolist()
+
+
+def vals_roundtrip(v):
+    v = np.asarray(v, dtype=np.int64)
+    out = decode_values(encode_values(v)).view(np.int64)
+    assert out.tolist() == v.tolist()
+
+
+# --- timestamps -------------------------------------------------------------
+
+def test_ts_empty():
+    ts_roundtrip([])
+
+
+def test_ts_single():
+    ts_roundtrip([42])
+
+
+def test_ts_regular_grid():
+    # t_i = i: constant delta -> dod stream of zeros after the first
+    ts_roundtrip(np.arange(1000))
+
+
+def test_ts_irregular_small_dod():
+    ts_roundtrip([0, 60, 120, 185, 240, 300, 310, 320])
+
+
+def test_ts_all_dod_classes():
+    # deltas engineered to hit every control class incl. the 64-bit escape
+    deltas = [1, 1, 65, 64 + 300, 64 + 300 + 2500, 10**12, 1, 10**15]
+    ts_roundtrip(np.cumsum([0] + deltas))
+
+
+def test_ts_negative_and_decreasing():
+    ts_roundtrip([100, 50, 0, -50, -200, -201])
+
+
+def test_ts_class_boundaries():
+    for dod in [-64, -63, 64, 65, -256, -255, 256, 257, -2048, -2047, 2048, 2049]:
+        ts_roundtrip([0, 1, 1 + 1 + dod])  # delta1=1, delta2=1+dod
+
+
+def test_ts_random_property():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(1, 500))
+        t = np.cumsum(rng.integers(-10_000, 10_000, size=n))
+        ts_roundtrip(t)
+
+
+# --- values -----------------------------------------------------------------
+
+def test_vals_empty():
+    vals_roundtrip([])
+
+
+def test_vals_single_point():
+    vals_roundtrip([12345])
+
+
+def test_vals_constant_series():
+    vals_roundtrip(np.full(500, 777))
+
+
+def test_vals_strictly_increasing():
+    vals_roundtrip(np.arange(1000))
+
+
+def test_vals_alternating_sign():
+    vals_roundtrip([1, -1, 1, -1, 2, -2])
+
+
+def test_vals_int32_extremes():
+    vals_roundtrip([0, 2**31 - 1, -(2**31), 1, -1, 2**31 - 1])
+
+
+def test_vals_full_64bit_meaningful():
+    # xor with lead=0 and trail=0 -> meaningful length exactly 64
+    vals_roundtrip(np.array([0, -1, (1 << 62) | 1, 0], dtype=np.int64))
+
+
+def test_vals_random_tokens_property():
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        n = int(rng.integers(1, 800))
+        vals_roundtrip(rng.integers(0, 50257, size=n))
+
+
+# --- chunk struct ------------------------------------------------------------
+
+def test_chunk_roundtrip_exact():
+    rng = np.random.default_rng(3)
+    t = np.arange(256, dtype=np.int64)
+    v = rng.integers(0, 50257, size=256)
+    chunk = encode_chunk(t, v)
+    t2, v2 = decode_chunk(chunk)
+    assert t2.tolist() == t.tolist()
+    assert v2.tolist() == v.tolist()
+    assert chunk["n"] == 256
+    assert chunk["t0"] == 0
+
+
+def test_chunk_checksum_detects_corruption():
+    chunk = encode_chunk(np.arange(10), np.arange(10))
+    chunk["checksum"] ^= 1
+    with pytest.raises(ValueError):
+        decode_chunk(chunk)
+
+
+def test_chunk_compresses_regular_token_stream():
+    # t=0..n-1 with small token values must compress well below raw 16B/point
+    rng = np.random.default_rng(5)
+    n = 4096
+    chunk = encode_chunk(np.arange(n), rng.integers(0, 50257, size=n))
+    raw = 16 * n
+    packed = len(chunk["ts_dod"]) + len(chunk["vals_gorilla"])
+    assert packed < raw / 3
