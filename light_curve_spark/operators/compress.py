@@ -1,0 +1,192 @@
+"""Chunk compression operators: sequences <-> compressed chunk structs.
+
+north_star: "Timestamps are delta-of-delta encoded and values Gorilla
+XOR-compressed into per-partition chunk structs persisted back to
+Iceberg"; per-row invariant: decode(encode(tokens)) == tokens EXACTLY.
+
+Shape: one sequence row -> one chunk row (mapInPandas, shuffle-free; the
+chunk table is written with the same partitioning as the salted input so
+the write needs no extra exchange, SURVEY.md §4.3). Ultra-long outliers
+are pre-split by :func:`chunk_outliers` into (doc_id, chunk_no) sub-series
+so no single Arrow batch or chunk blows executor memory.
+
+Kernels: light_curve_spark.kernels.compression (Pelkonen et al. VLDB'15
+scheme; vectorized encode, see that module's docstring).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from light_curve_spark.kernels.compression import (
+    decode_timestamps,
+    decode_values,
+    encode_chunk,
+)
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("source", StringType(), True),
+        StructField("chunk_no", IntegerType(), False),
+        StructField("t0", LongType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("ts_dod", BinaryType(), False),
+        StructField("vals_gorilla", BinaryType(), False),
+        StructField("checksum", LongType(), False),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("source", StringType(), True),
+        StructField("chunk_no", IntegerType(), False),
+        StructField("t", ArrayType(LongType(), False), False),
+        StructField("tokens", ArrayType(IntegerType(), False), False),
+    ]
+)
+
+
+def chunk_outliers(seq: DataFrame, max_len: int = 4096) -> DataFrame:
+    """Split sequences longer than ``max_len`` into (doc_id, chunk_no)
+    sub-sequences using built-in array slicing (no UDF). Keeps every
+    chunk's Arrow footprint bounded regardless of the n_tok long tail."""
+    n_chunks = F.ceil(F.col("n_tok") / F.lit(max_len)).cast("int")
+    return (
+        seq.withColumn("chunk_no", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("t_off", F.col("chunk_no") * F.lit(max_len))
+        .withColumn(
+            "tokens", F.slice(F.col("tokens"), F.col("t_off") + 1, F.lit(max_len))
+        )
+        .withColumn("n_tok", F.size("tokens"))
+        .drop("t_off")
+    )
+
+
+LINEAGE_CHUNK_SCHEMA = StructType(
+    list(CHUNK_SCHEMA.fields)
+    + [
+        StructField("_pid", IntegerType(), False),
+        StructField("_wall_ms", LongType(), False),
+    ]
+)
+
+
+def encode_chunks(
+    seq: DataFrame, max_len: int = 4096, with_lineage: bool = False
+) -> DataFrame:
+    """sequences -> chunk table. t_i is the global token position, so a
+    chunk of a split outlier starts at chunk_no * max_len.
+
+    ``with_lineage=True`` adds ``_pid`` (TaskContext partition id) and
+    ``_wall_ms`` (encode wall time, spread over the batch's rows) columns
+    measured inside the same kernel pass — the pipeline aggregates them
+    into the metrics table without a second scan.
+    """
+    if "chunk_no" not in seq.columns:
+        seq = chunk_outliers(seq, max_len=max_len)
+    cols = [
+        "doc_id",
+        "source",
+        "chunk_no",
+        "t0",
+        "n",
+        "ts_dod",
+        "vals_gorilla",
+        "checksum",
+    ]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            t_start = time.time()
+            rows = []
+            for doc_id, source, chunk_no, toks in zip(
+                pdf["doc_id"], pdf["source"], pdf["chunk_no"], pdf["tokens"]
+            ):
+                v = np.asarray(toks, dtype=np.int64)
+                t = np.arange(v.shape[0], dtype=np.int64) + int(chunk_no) * max_len
+                c = encode_chunk(t, v)
+                rows.append(
+                    (
+                        doc_id,
+                        source,
+                        int(chunk_no),
+                        c["t0"],
+                        c["n"],
+                        c["ts_dod"],
+                        c["vals_gorilla"],
+                        c["checksum"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            if with_lineage:
+                wall = int((time.time() - t_start) * 1000)
+                out["_pid"] = pid
+                out["_wall_ms"] = wall // max(len(rows), 1)
+            yield out
+
+    schema = LINEAGE_CHUNK_SCHEMA if with_lineage else CHUNK_SCHEMA
+    return seq.select("doc_id", "source", "chunk_no", "tokens").mapInPandas(
+        fn, schema=schema
+    )
+
+
+def decode_chunks(chunks: DataFrame) -> DataFrame:
+    """chunk table -> (doc_id, chunk_no, t, tokens); the round-trip
+    half of the per-row invariant."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ts, toks = [], []
+            for ts_dod, vals in zip(pdf["ts_dod"], pdf["vals_gorilla"]):
+                ts.append(decode_timestamps(bytes(ts_dod)))
+                toks.append(
+                    decode_values(bytes(vals)).view(np.int64).astype(np.int32)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "chunk_no": pdf["chunk_no"],
+                    "t": ts,
+                    "tokens": toks,
+                }
+            )
+
+    return chunks.mapInPandas(fn, schema=DECODED_SCHEMA)
+
+
+def reassemble(decoded: DataFrame) -> DataFrame:
+    """Stitch split chunks back into whole sequences (groupBy + ordered
+    flatten, built-ins only) for the exact-equality check."""
+    return (
+        decoded.groupBy("doc_id", "source")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_no", "tokens"))
+                ).tokens
+            ).alias("tokens")
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )

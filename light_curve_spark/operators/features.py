@@ -1,0 +1,113 @@
+"""Feature-extraction operators.
+
+Two implementations with identical semantics (SURVEY.md §7 phase 3):
+
+- :func:`extract_features` — the production path. ``mapInPandas`` over
+  the ARRAY-form sequences table: each sequence is already one row, so
+  feature extraction is a shuffle-free map; inside each Arrow batch the
+  segment-vectorized kernel (:func:`...kernels.features.feature_frame`)
+  processes every series at once with reduceat/lexsort — no per-row
+  Python (input_hint).
+
+- :func:`extract_features_relational` — the SQL-checkable twin for the
+  long form. Pure built-in aggregates/windows (Catalyst hash aggregate
+  with partial+final); used by the DuckDB oracle harness and for users
+  who keep data in long format.
+
+Feature math: Malanchev et al. 2021 (the reference's citation,
+/root/reference/README.md:30-50); see kernels/features.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from light_curve_spark.kernels.features import (
+    FEATURE_NAMES,
+    PERIODOGRAM_NAMES,
+    feature_frame,
+)
+
+_BASE_FIELDS = [
+    StructField("doc_id", StringType(), False),
+    StructField("source", StringType(), True),
+]
+
+
+def features_schema(with_periodogram: bool = False) -> StructType:
+    names = FEATURE_NAMES + (PERIODOGRAM_NAMES if with_periodogram else ())
+    return StructType(_BASE_FIELDS + [StructField(n, DoubleType(), True) for n in names])
+
+
+def extract_features(
+    seq: DataFrame,
+    freqs: np.ndarray | None = None,
+    irregular: bool = False,
+) -> DataFrame:
+    """Per-sequence feature vector; one row in, one row out, no shuffle.
+
+    ``freqs`` (optional) adds periodogram moments on that fixed frequency
+    grid. ``irregular=True`` uses the deterministic irregular time axis
+    (see operators/series.py) for the periodogram phases.
+    """
+    schema = features_schema(with_periodogram=freqs is not None)
+    freqs_arr = None if freqs is None else np.asarray(freqs, dtype=np.float64)
+    names = [f.name for f in schema.fields[2:]]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            lengths = pdf["n_tok"].to_numpy().astype(np.int64)
+            flat = np.concatenate(pdf["tokens"].to_list()).astype(np.float64)
+            t_flat = None
+            if irregular and freqs_arr is not None:
+                # t_i = exclusive cumsum of (1 + tok mod 7) within each segment
+                starts = np.cumsum(lengths) - lengths
+                elem = np.repeat(np.arange(lengths.shape[0]), lengths)
+                deltas = 1.0 + np.mod(flat, 7.0)
+                excl = np.cumsum(deltas) - deltas
+                t_flat = excl - excl[starts][elem]
+            fr = feature_frame(flat, lengths, t_flat=t_flat, freqs=freqs_arr)
+            out = {"doc_id": pdf["doc_id"], "source": pdf["source"]}
+            out.update({n: fr[n] for n in names})
+            yield pd.DataFrame(out)
+
+    return seq.mapInPandas(fn, schema=schema)
+
+
+def extract_features_relational(series: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Long-form (key, t, v) -> per-key features, pure built-ins.
+
+    One hash-partitioning by key feeds both the window stats and the final
+    groupBy (Catalyst reuses the exchange). Emits the same columns as
+    :func:`extract_features` minus the periodogram (not SQL-expressible).
+    """
+    keys = keys or ["doc_id"]
+    v = F.col("v")
+    w = Window.partitionBy(*keys)
+    enriched = (
+        series.withColumn("mu", F.mean(v).over(w))
+        .withColumn("sigma", F.stddev_samp(v).over(w))
+        .withColumn("med", F.median(v).over(w))
+    )
+    d = v - F.col("mu")
+    return enriched.groupBy(*keys).agg(
+        F.first("mu").alias("mean"),
+        F.first("sigma").alias("std"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.first("med").alias("median"),
+        F.count(v).cast("double").alias("count"),
+        ((F.max(v) - F.min(v)) / 2.0).alias("amplitude"),
+        F.avg((F.abs(d) > F.col("sigma")).cast("double")).alias("beyond_1_std"),
+        F.avg((F.abs(d) > 2.0 * F.col("sigma")).cast("double")).alias("beyond_2_std"),
+        F.median(F.abs(v - F.col("med"))).alias("mad"),
+        (F.avg(F.abs(d)) / F.sqrt(F.avg(d * d))).alias("stetson_k"),
+    )

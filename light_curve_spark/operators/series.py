@@ -1,0 +1,54 @@
+"""Series views of the sequences table.
+
+The engine treats each row's token stream as an irregularly-sampled
+series (BASELINE.json north_star): ``t_i = i`` (position) by default,
+``v_i = double(tokens[i])``; an irregular-time variant derives
+deterministic per-point deltas from the token values themselves
+(``delta_i = 1 + token_i mod 7``) so gap-fill paths are exercised without
+extra columns (FIXTURES.md §1).
+
+Two physical shapes (SURVEY.md §1.2):
+- **array form** — one row per series, ``tokens`` kept nested. The unit
+  fed to kernel operators (zero shuffle: a sequence is already one row).
+- **long form** — ``posexplode`` to (key, t, v) rows. The shape for
+  relational operators (rollups, window gap-fill) and for the DuckDB
+  oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def explode_series(seq: DataFrame, irregular: bool = False) -> DataFrame:
+    """Long form: (doc_id, source, t double, v double).
+
+    All JVM-side built-ins — posexplode + (for the irregular variant) a
+    per-key running-sum window. The window shuffles by doc_id once; the
+    regular variant is shuffle-free.
+    """
+    long_df = seq.select(
+        "doc_id",
+        "source",
+        F.posexplode("tokens").alias("pos", "tok"),
+    )
+    if not irregular:
+        return long_df.select(
+            "doc_id",
+            "source",
+            F.col("pos").cast("double").alias("t"),
+            F.col("tok").cast("double").alias("v"),
+        )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # t_0 = 0; t_i = sum_{j<i} (1 + tok_j % 7)
+    delta = F.lit(1) + F.pmod(F.col("tok"), F.lit(7))
+    return (
+        long_df.withColumn("t_next", F.sum(delta).over(w))
+        .withColumn("t", (F.col("t_next") - delta).cast("double"))
+        .select("doc_id", "source", "t", F.col("tok").cast("double").alias("v"))
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (array<float/double>).
+
+- :func:`cosine_topk` — brute-force cosine top-k, the exact baseline.
+  The dot product runs JVM-side via zip_with + aggregate (whole-stage
+  codegen, no Python); the query vector is a literal folded into the
+  plan, so the scan is a single map + TakeOrdered (no shuffle at all —
+  Spark's top-k physical operator takes k per partition then merges on
+  the driver).
+- :func:`cosine_topk_pandas` — the same computation as an Arrow-batched
+  pandas UDF doing one numpy matrix-vector product per batch. Faster per
+  row for wide vectors (SIMD beats codegen'd per-element loops); used by
+  bench to pick the winner.
+- :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH. Vectors
+  are bucketed by the sign pattern of ``n_planes`` seeded hyperplanes
+  (deterministic, splitmix64-derived, so bucketing is reproducible
+  cluster-wide); the query probes only its own bucket plus all buckets
+  within Hamming distance ``probe_hamming`` (multi-probe), turning a
+  full scan into a partition-pruned scan of a few buckets. At 100 TB the
+  bucket id becomes the table's partition column, so probing is
+  partition pruning at the source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_expr(col: str, qvec: list[float]) -> F.Column:
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return F.aggregate(
+        F.zip_with(F.col(col), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_expr(col: str) -> F.Column:
+    return F.sqrt(
+        F.aggregate(F.col(col), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity, built-ins only."""
+    qn = float(np.sqrt(np.dot(query, query)))
+    cos = _dot_expr(vec_col, query) / (_norm_expr(vec_col) * F.lit(qn))
+    return (
+        emb.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_topk_pandas(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same semantics, vectorized kernel path: one (batch × dim) @ dim
+    matvec per Arrow batch."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.sqrt(q @ q)
+    schema = StructType(
+        [StructField(id_col, LongType(), False), StructField("cosine", DoubleType(), True)]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ q) / (norms * qn)
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine": cos})
+
+    scored = emb.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes via splitmix64 counters
+    (same construction as sources/synthetic.py — reproducible anywhere)."""
+    from light_curve_spark.sources.synthetic import _uniform01
+
+    ctr = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed) * np.uint64(
+        0x9E3779B9
+    )
+    u = _uniform01(ctr).reshape(n_planes, dim)
+    return (u - 0.5) * 2.0  # uniform in [-1, 1); sign-symmetric
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Bucket id = sign-bit pattern of the plane dot products, computed
+    JVM-side (one aggregate per plane over the vector array)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: scan only LSH buckets within ``probe_hamming``
+    of the query's bucket, then exact cosine inside the candidates."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(q.shape[0], n_planes, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if plane @ q >= 0:
+            qbucket |= 1 << i
+    probe = [qbucket]
+    if probe_hamming >= 1:
+        probe += [qbucket ^ (1 << i) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probe += [
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    bucketed = emb.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
+    cand = bucketed.filter(F.col("_bucket").isin(probe))
+    return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)

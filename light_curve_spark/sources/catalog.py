@@ -1,0 +1,150 @@
+"""Table access: testdata parquet loaders and the snapshot-capable
+storage layer.
+
+Production target is Iceberg (``spark.read.format("iceberg")`` /
+``df.writeTo(...).append()`` with ``VERSION AS OF`` for resume —
+SURVEY.md §2.2). The sandbox has no Iceberg runtime jar, so the layer is
+an interface with two implementations resolved at session build:
+
+- :class:`IcebergStorage` — used when the Iceberg Spark extension classes
+  load; snapshot ids are Iceberg snapshot ids.
+- :class:`ParquetSnapshotStorage` — parquet directories plus a JSON
+  manifest (``_snapshots.json``) recording one immutable directory per
+  snapshot; gives the same append/read-version/resume contract so pytest
+  never needs the jar (SURVEY.md §7 phase 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One testdata table (TESTDATA.md). Plain parquet scan — Catalyst
+    handles pushdown/pruning from here."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — capability probe only
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class ParquetSnapshotStorage:
+    """Append-only snapshot storage over plain parquet.
+
+    Layout: ``<root>/<table>/snap-<id>/part-*.parquet`` plus
+    ``<root>/<table>/_snapshots.json`` listing snapshot ids in commit
+    order. Reading a table unions all snapshot dirs up to the pinned id —
+    the same semantics as Iceberg time travel, minus file-level deletes
+    (the engine only appends).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_snapshots.json")
+
+    def snapshots(self, table: str) -> list[dict]:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return json.load(f)
+
+    def current_snapshot(self, table: str) -> str | None:
+        snaps = self.snapshots(table)
+        return snaps[-1]["id"] if snaps else None
+
+    def append(self, df: DataFrame, table: str) -> str:
+        """Append df as a new snapshot; returns the snapshot id."""
+        snap_id = uuid.uuid4().hex[:16]
+        out = os.path.join(self.root, table, f"snap-{snap_id}")
+        df.write.mode("error").parquet(out)
+        snaps = self.snapshots(table)
+        snaps.append({"id": snap_id, "committed_at": time.time(), "path": out})
+        os.makedirs(os.path.join(self.root, table), exist_ok=True)
+        with open(self._manifest_path(table), "w") as f:
+            json.dump(snaps, f)
+        return snap_id
+
+    def read(self, table: str, as_of: str | None = None) -> DataFrame:
+        """Read the table, optionally pinned at a snapshot id
+        (``VERSION AS OF`` equivalent)."""
+        snaps = self.snapshots(table)
+        if as_of is not None:
+            upto = [s for i, s in enumerate(snaps) if i <= _index_of(snaps, as_of)]
+        else:
+            upto = snaps
+        if not upto:
+            raise ValueError(f"table {table} has no snapshots")
+        return self.spark.read.parquet(*[s["path"] for s in upto])
+
+
+def _index_of(snaps: list[dict], snap_id: str) -> int:
+    for i, s in enumerate(snaps):
+        if s["id"] == snap_id:
+            return i
+    raise ValueError(f"unknown snapshot {snap_id}")
+
+
+class IcebergStorage:
+    """Iceberg-backed storage (used when the runtime jar is present)."""
+
+    def __init__(self, spark: SparkSession, catalog: str = "spark_catalog"):
+        self.spark = spark
+        self.catalog = catalog
+
+    def append(self, df: DataFrame, table: str) -> str:
+        df.writeTo(table).append()
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).head()
+        return str(row[0])
+
+    def current_snapshot(self, table: str) -> str | None:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(rows[0][0]) if rows else None
+
+    def read(self, table: str, as_of: str | None = None) -> DataFrame:
+        if as_of is None:
+            return self.spark.read.format("iceberg").load(table)
+        return self.spark.read.format("iceberg").option("snapshot-id", as_of).load(table)
+
+
+def get_storage(spark: SparkSession, root: str):
+    """Resolve the storage backend for this session (Iceberg if loadable,
+    else parquet+manifest)."""
+    if iceberg_available(spark):
+        return IcebergStorage(spark)
+    return ParquetSnapshotStorage(spark, root)

@@ -1,0 +1,258 @@
+"""Spark operator tests: synthetic source determinism, series views,
+feature operators (kernel vs relational vs per-series oracle), rollup
+cascade, gap-fill (relational vs kernel), compression round trip."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from light_curve_spark.kernels import feature_vector, interpolate, linspace
+from light_curve_spark.kernels.features import feature_frame
+from light_curve_spark.operators.compress import (
+    chunk_outliers,
+    decode_chunks,
+    encode_chunks,
+    reassemble,
+)
+from light_curve_spark.operators.features import (
+    extract_features,
+    extract_features_relational,
+)
+from light_curve_spark.operators.gapfill import (
+    grid_points,
+    interpolate_relational,
+    locf,
+    regrid_kernel,
+)
+from light_curve_spark.operators.rollup import rollup_quantiles, rollup_tiers
+from light_curve_spark.operators.series import explode_series
+from light_curve_spark.sources.synthetic import synthetic_sequences
+
+
+@pytest.fixture(scope="module")
+def seq100(spark):
+    df = synthetic_sequences(spark, 100, seed=42).persist()
+    df.count()
+    return df
+
+
+# --- synthetic source --------------------------------------------------------
+
+def test_synthetic_schema_and_determinism(spark, seq100):
+    assert [f.name for f in seq100.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
+    # partition-count independence: same rows at 1 and 7 partitions
+    a = sorted(seq100.collect(), key=lambda r: r.doc_id)
+    b = sorted(
+        synthetic_sequences(spark, 100, seed=42, num_partitions=7).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert len(a) == 100
+    for ra, rb in zip(a, b):
+        assert ra.doc_id == rb.doc_id
+        assert ra.tokens == rb.tokens
+        assert ra.source == rb.source
+
+
+def test_synthetic_token_range_and_lengths(seq100):
+    row = seq100.select(
+        F.min(F.array_min("tokens")).alias("lo"),
+        F.max(F.array_max("tokens")).alias("hi"),
+        F.min("n_tok").alias("nlo"),
+        F.max("n_tok").alias("nhi"),
+    ).head()
+    assert row.lo >= 0 and row.hi < 50257
+    assert row.nlo >= 1 and row.nhi <= 16384
+    bad = seq100.filter(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+
+
+# --- feature extraction ------------------------------------------------------
+
+def test_feature_frame_matches_per_series_oracle():
+    rng = np.random.default_rng(9)
+    lengths = np.array([1, 2, 5, 128, 1000])
+    series = [rng.integers(0, 50257, size=n).astype(np.float64) for n in lengths]
+    fr = feature_frame(np.concatenate(series), lengths)
+    for i, m in enumerate(series):
+        fv = feature_vector(m)
+        for name, val in fv.items():
+            got = fr[name][i]
+            if np.isnan(val):
+                assert np.isnan(got), name
+            else:
+                assert got == pytest.approx(val, rel=1e-12), (name, i)
+
+
+def test_extract_features_matches_kernel_oracle(spark, seq100):
+    rows = extract_features(seq100).collect()
+    raw = {r.doc_id: r.tokens for r in seq100.collect()}
+    assert len(rows) == 100
+    for r in rows[:20]:
+        fv = feature_vector(np.asarray(raw[r.doc_id], dtype=np.float64))
+        assert r.amplitude == pytest.approx(fv["amplitude"], abs=1e-12)
+        assert r.mad == pytest.approx(fv["mad"], abs=1e-12)
+        if not np.isnan(fv["stetson_k"]):
+            assert r.stetson_k == pytest.approx(fv["stetson_k"], rel=1e-12)
+
+
+def test_extract_features_periodogram(spark, seq100):
+    freqs = linspace(0.05, 0.45, 5)
+    df = extract_features(seq100, freqs=freqs)
+    rows = df.filter(F.col("count") >= 4).collect()
+    assert all(r.pg_peak_freq in set(freqs.tolist()) for r in rows)
+
+
+def test_relational_matches_kernel_features(spark, seq100):
+    series = explode_series(seq100)
+    rel = {r.doc_id: r for r in extract_features_relational(series).collect()}
+    ker = {r.doc_id: r for r in extract_features(seq100).collect()}
+    assert set(rel) == set(ker)
+    for doc_id, kr in ker.items():
+        rr = rel[doc_id]
+        for name in ("mean", "min", "max", "median", "count", "amplitude", "mad"):
+            assert rr[name] == pytest.approx(kr[name], rel=1e-9), name
+        for name in ("std", "beyond_1_std", "beyond_2_std", "stetson_k"):
+            kv, rv = kr[name], rr[name]
+            if kv is None or (isinstance(kv, float) and np.isnan(kv)):
+                assert rv is None or np.isnan(rv), name
+            else:
+                assert rv == pytest.approx(kv, rel=1e-9), name
+
+
+# --- rollup cascade ----------------------------------------------------------
+
+def test_rollup_cascade_matches_direct(spark, seq100):
+    series = explode_series(seq100).persist()
+    got = rollup_tiers(series, base_width=16.0, tiers=(1, 10, 100))
+    # oracle: compute tier 10 directly from raw, compare
+    direct10 = (
+        series.groupBy(
+            "doc_id", "source", F.floor(F.col("t") / F.lit(160.0)).alias("bucket")
+        )
+        .agg(
+            F.count("v").alias("n_points"),
+            F.sum("v").alias("v_sum"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        .collect()
+    )
+    got10 = {
+        (r.doc_id, r.bucket): r for r in got.filter(F.col("tier") == 10).collect()
+    }
+    assert len(got10) == len(direct10)
+    for r in direct10:
+        g = got10[(r.doc_id, r.bucket)]
+        assert g.n_points == r.n_points
+        assert g.v_min == r.v_min and g.v_max == r.v_max
+        assert g.v_sum == pytest.approx(r.v_sum, rel=1e-12)
+    series.unpersist()
+
+
+def test_rollup_quantiles(spark, seq100):
+    series = explode_series(seq100)
+    q = rollup_quantiles(series, base_width=16.0, tiers=(1,)).filter(
+        F.col("doc_id") == "doc00000000"
+    )
+    raw = explode_series(seq100).filter(F.col("doc_id") == "doc00000000").collect()
+    vals = {}
+    for r in raw:
+        vals.setdefault(int(r.t // 16), []).append(r.v)
+    for row in q.collect():
+        med = float(np.median(vals[row.bucket]))
+        assert row.v_median == pytest.approx(med, abs=1e-12)
+        assert row.v_mad == pytest.approx(
+            float(np.median(np.abs(np.array(vals[row.bucket]) - med))), abs=1e-12
+        )
+
+
+# --- gap-fill / regrid -------------------------------------------------------
+
+def test_locf(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 5,
+            "t": [0.0, 1.0, 2.0, 3.0, 4.0],
+            "v": [1.0, None, None, 4.0, None],
+        }
+    )
+    out = locf(spark.createDataFrame(pdf)).orderBy("t").collect()
+    assert [r.v_filled for r in out] == [1.0, 1.0, 1.0, 4.0, 4.0]
+
+
+def test_interpolate_relational_matches_kernel(spark):
+    # reference broken_line vectors through the relational path
+    x = [-7 / 3, -4 / 3, -1.0, -1 / 3, 1.0, 4 / 3, 7 / 3]
+    y = [2.5, 2.0, 0.5, 1.0, 0.5, 1.5, 3.0]
+    tx = [-2.0, -5 / 3, -4 / 3, -1.0, -2 / 3, -1 / 3, 0.0, 1 / 3, 2 / 3, 1.0, 4 / 3, 5 / 3, 2.0]
+    series = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"] * len(x), "t": x, "v": y})
+    )
+    grid = spark.createDataFrame(pd.DataFrame({"doc_id": ["a"] * len(tx), "t": tx}))
+    out = interpolate_relational(series, grid, left=-1.0, right=-1.0)
+    got = [r.v for r in out.orderBy("t").collect()]
+    expected = interpolate(np.array(x), np.array(y), np.array(tx), -1.0, -1.0)
+    np.testing.assert_allclose(got, expected, atol=1e-12)
+
+
+def test_interpolate_relational_boundary_fills(spark):
+    series = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "t": [0.0], "v": [1.0]})
+    )
+    grid = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"] * 5, "t": [-2.0, -1.0, 0.0, 1.0, 2.0]})
+    )
+    got = [
+        r.v
+        for r in interpolate_relational(series, grid, left=-3.0, right=-8.0)
+        .orderBy("t")
+        .collect()
+    ]
+    assert got == [-3.0, -3.0, 1.0, -8.0, -8.0]
+
+
+def test_regrid_kernel_ztf_shape(spark, seq100):
+    # regrid every synthetic series onto a common grid; spot-check one
+    # series against the raw kernel (including unsorted/duplicate safety)
+    series = explode_series(seq100).filter(F.col("doc_id") < "doc00000010")
+    out = regrid_kernel(series, 0.0, 128.0, 33, left=0.0, right=0.0)
+    rows = {r.doc_id: r.grid_v for r in out.collect()}
+    raw = series.filter(F.col("doc_id") == "doc00000003").orderBy("t").collect()
+    t = np.array([r.t for r in raw])
+    v = np.array([r.v for r in raw])
+    expected = interpolate(t, v, linspace(0.0, 128.0, 33), 0.0, 0.0)
+    np.testing.assert_array_equal(rows["doc00000003"], expected)
+
+
+def test_grid_points_matches_linspace(spark):
+    df = spark.range(1).select(grid_points(58194.5, 58482.5, 145).alias("g"))
+    got = np.array(df.head().g)
+    np.testing.assert_array_equal(got, linspace(58194.5, 58482.5, 145))
+
+
+# --- compression on Spark -----------------------------------------------------
+
+def test_chunk_roundtrip_exact_token_equality(spark, seq100):
+    chunks = encode_chunks(seq100, max_len=512)
+    back = reassemble(decode_chunks(chunks))
+    orig = {r.doc_id: r.tokens for r in seq100.collect()}
+    got = {r.doc_id: r.tokens for r in back.collect()}
+    assert set(orig) == set(got)
+    for doc_id in orig:
+        assert orig[doc_id] == got[doc_id], doc_id  # EXACT equality (input_hint)
+
+
+def test_chunk_outliers_bounds_length(spark, seq100):
+    split = chunk_outliers(seq100, max_len=100)
+    assert split.select(F.max(F.size("tokens"))).head()[0] <= 100
+    # total token count preserved
+    total_before = seq100.select(F.sum("n_tok")).head()[0]
+    total_after = split.select(F.sum(F.size("tokens"))).head()[0]
+    assert total_before == total_after
+
+
+def test_encode_chunks_lineage_columns(spark, seq100):
+    chunks = encode_chunks(seq100.limit(10), with_lineage=True)
+    rows = chunks.collect()
+    assert all(r._pid >= 0 for r in rows)
