@@ -1,38 +1,717 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship tier-rollup over sf0.001; ``queries`` maps
+every implemented operator from SURVEY.md §2 (plus the training-data
+pipeline ops) to a callable; ``oracle_sql`` provides DuckDB twins for
+every SQL-expressible query. Non-SQL-expressible ops (MinHash/SimHash
+LSH — engine-specific hash functions; kernel periodogram; compression
+round-trip; ANN probing; fingerprints; multimodal stubs) have no oracle
+entry and get the driver's rows-only check.
+
+Float policy: every computed float column is wrapped in round(·, 6) on
+BOTH sides so cross-engine reduction-order noise cannot flip the
+value-hash; raw pass-through columns stay exact.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DAY_US = 86_400_000_000.0
+
+
+def _r6(c):
+    # epsilon-shift before rounding: means/ratios of 2-decimal data land
+    # EXACTLY on the x.xxxxxx5 boundary, where 1-ulp cross-engine noise
+    # flips the rounded digit. The same shift is applied to every round()
+    # in the oracle SQL (see oracle_sql()), so both sides move together.
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.round(c + F.lit(1e-9), 6)
+
+
+def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a long-form series: (user_id, t = epoch micros double,
+    v = value). Microsecond-integer t is exact in f64 (< 2^53)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("t"),
+        F.col("value").alias("v"),
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).head()
+    return [float(x) for x in row.embedding]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_amplitude_lineitem(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        _r6((F.max(p) - F.min(p)) / 2.0).alias("amplitude"),
+        F.count("*").alias("n_rows"),
+        F.min(p).alias("v_min"),
+        F.max(p).alias("v_max"),
+    )
+
+
+def q_features_events(spark, sf_dir):
+    from light_curve_spark.operators.features import extract_features_relational
+
+    out = extract_features_relational(_events_series(spark, sf_dir), keys=["user_id"])
+    keep_exact = {"min", "max", "count"}
+    return out.select(
+        "user_id",
+        *[
+            (F.col(c) if c in keep_exact else _r6(F.col(c))).alias(c)
+            for c in out.columns
+            if c != "user_id"
+        ],
+    )
+
+
+def q_features_events_kernel(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from light_curve_spark.kernels.features import FEATURE_NAMES, feature_vector
+
+    schema = StructType(
+        [StructField("user_id", LongType(), False)]
+        + [StructField(n, DoubleType(), True) for n in FEATURE_NAMES]
+    )
+
+    def fn(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        fv = feature_vector(pdf["v"].to_numpy(dtype=np.float64))
+        return pd.DataFrame([{"user_id": key[0], **fv}])
+
+    out = _events_series(spark, sf_dir).groupBy("user_id").applyInPandas(fn, schema)
+    keep_exact = {"min", "max", "count"}
+    return out.select(
+        "user_id",
+        *[
+            (F.col(c) if c in keep_exact else _r6(F.col(c))).alias(c)
+            for c in FEATURE_NAMES
+        ],
+    )
+
+
+def _round_rollup(df):
+    # v_mean derives from the ROUNDED sum so cross-engine 1-ulp noise in
+    # the unrounded sums cannot straddle a rounding boundary in the mean
+    return df.select(
+        "user_id",
+        "tier",
+        "bucket",
+        "n_points",
+        _r6("v_sum").alias("v_sum"),
+        "v_min",
+        "v_max",
+        _r6(_r6("v_sum") / F.col("n_points")).alias("v_mean"),
+    )
+
+
+def q_rollup_tiers_events(spark, sf_dir):
+    from light_curve_spark.operators.rollup import rollup_tiers
+
+    out = rollup_tiers(
+        _events_series(spark, sf_dir),
+        keys=["user_id"],
+        base_width=DAY_US,
+        tiers=(1, 10, 100),
+    )
+    return _round_rollup(out)
+
+
+def q_rollup_quantiles_events(spark, sf_dir):
+    from light_curve_spark.operators.rollup import rollup_quantiles
+
+    out = rollup_quantiles(
+        _events_series(spark, sf_dir),
+        keys=["user_id"],
+        base_width=DAY_US,
+        tiers=(1, 10, 100),
+    )
+    return out.select(
+        "user_id",
+        "tier",
+        "bucket",
+        _r6("v_median").alias("v_median"),
+        _r6("v_mad").alias("v_mad"),
+    )
+
+
+def q_merge_rollups_events(spark, sf_dir):
+    """Incremental continuous-aggregate fold: rollup two halves of events
+    independently, merge — must equal the direct rollup (same oracle)."""
+    from light_curve_spark.operators.rollup import rollup_tiers
+    from light_curve_spark.streaming.incremental import merge_rollups
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    mk = lambda df: rollup_tiers(  # noqa: E731
+        df.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("t"),
+            F.col("value").alias("v"),
+        ),
+        keys=["user_id"],
+        base_width=DAY_US,
+        tiers=(1, 10, 100),
+    )
+    half_a = mk(ev.filter(F.col("event_id") % 2 == 0))
+    half_b = mk(ev.filter(F.col("event_id") % 2 == 1))
+    return _round_rollup(merge_rollups(half_a, half_b, keys=["user_id"]))
+
+
+def q_locf_events_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    daily = (
+        ev.withColumn("day", F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US)))
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id", "day", F.last("v", ignorenulls=True).over(w).alias("v_filled")
+    )
+
+
+def q_interpolate_events(spark, sf_dir):
+    from light_curve_spark.operators.gapfill import interpolate_relational
+
+    s = _events_series(spark, sf_dir)
+    b = s.groupBy("user_id").agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    grid = b.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(24)),
+                lambda i: F.col("t0")
+                + ((F.col("t1") - F.col("t0")) / F.lit(24.0)) * i.cast("double"),
+            )
+        ).alias("t"),
+    )
+    # t stays UNROUNDED: the grid doubles are bitwise identical across
+    # engines, while round(1e15-scale, 6) is itself lossy in DuckDB
+    out = interpolate_relational(s, grid, left=-1.0, right=-1.0, keys=["user_id"])
+    return out.select("user_id", "t", _r6("v").alias("v"))
+
+
+def q_regrid_events_kernel(spark, sf_dir):
+    """Strategy-K regrid (reference-exact kernel) exploded back to rows;
+    oracle is the relational SQL — cross-validates kernel vs SQL."""
+    from light_curve_spark.operators.gapfill import regrid_kernel
+
+    s = _events_series(spark, sf_dir)
+    t0, t1 = s.agg(F.min("t"), F.max("t")).head()
+    n = 33
+    step = (t1 - t0) / (n - 1)
+    out = regrid_kernel(s, t0, t1, n, left=-1.0, right=-1.0, keys=["user_id"])
+    return out.select(
+        "user_id", F.posexplode("grid_v").alias("i", "v")
+    ).select(
+        "user_id",
+        (F.lit(t0) + F.lit(step) * F.col("i").cast("double")).alias("t"),
+        _r6("v").alias("v"),
+    )
+
+
+def q_exact_dedup_documents(spark, sf_dir):
+    from light_curve_spark.operators.dedup import exact_dedup
+
+    # min_dups=1: audit every digest group (cross-engine md5+normalization
+    # parity on all 500 docs; the corpus has no exact dups)
+    return exact_dedup(_docs(spark, sf_dir), min_dups=1)
+
+
+def q_ngram_jaccard_documents(spark, sf_dir):
+    from light_curve_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, max_df=1000)
+    return out.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
+
+
+def q_minhash_lsh_documents(spark, sf_dir):
+    from light_curve_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, num_hashes=16, bands=4, threshold=0.5
+    ).select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
+
+
+def q_simhash_documents(spark, sf_dir):
+    from light_curve_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(spark, sf_dir)).filter(F.col("hamming") <= 8)
+
+
+def q_language_id_documents(spark, sf_dir):
+    from light_curve_spark.operators.text import language_id
+
+    out = language_id(_docs(spark, sf_dir))
+    return out.select("doc_id", "lang_pred", _r6("lang_score").alias("lang_score"))
+
+
+def q_quality_score_documents(spark, sf_dir):
+    from light_curve_spark.operators.text import quality_score
+
+    out = quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        *[_r6(c).alias(c) for c in out.columns if c != "doc_id"],
+    )
+
+
+def q_token_count_documents(spark, sf_dir):
+    from light_curve_spark.operators.text import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    from light_curve_spark.operators.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_cosine_topk_embeddings(spark, sf_dir):
+    from light_curve_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", _r6("cosine").alias("cosine"))
+
+
+def q_cosine_topk_embeddings_kernel(spark, sf_dir):
+    from light_curve_spark.operators.similarity import cosine_topk_pandas
+
+    out = cosine_topk_pandas(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", _r6("cosine").alias("cosine"))
+
+
+def q_lsh_ann_embeddings(spark, sf_dir):
+    from light_curve_spark.operators.similarity import lsh_ann_topk
+
+    out = lsh_ann_topk(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, n_planes=8
+    )
+    return out.select("vec_id", _r6("cosine").alias("cosine"))
+
+
+def q_chunk_roundtrip_sequences(spark, sf_dir):
+    """Per-row invariant on synthetic sequences: decode(encode(tokens))
+    == tokens exactly, through the persisted-shape chunk structs."""
+    from light_curve_spark.operators.compress import (
+        decode_chunks,
+        encode_chunks,
+        reassemble,
+    )
+    from light_curve_spark.sources.synthetic import synthetic_sequences
+
+    seq = synthetic_sequences(spark, 300, seed=42)
+    back = reassemble(decode_chunks(encode_chunks(seq, max_len=512)))
+    orig = seq.select("doc_id", F.col("tokens").alias("tokens_orig"))
+    return (
+        back.join(orig, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tok"),
+            (F.col("tokens") == F.col("tokens_orig")).alias("roundtrip_ok"),
+        )
+    )
+
+
+def q_periodogram_sequences(spark, sf_dir):
+    import numpy as np
+
+    from light_curve_spark.operators.features import extract_features
+    from light_curve_spark.sources.synthetic import synthetic_sequences
+
+    seq = synthetic_sequences(spark, 300, seed=42)
+    out = extract_features(seq, freqs=np.linspace(0.05, 0.45, 9))
+    return out.select(
+        "doc_id",
+        _r6("pg_mean").alias("pg_mean"),
+        _r6("pg_std").alias("pg_std"),
+        _r6("pg_peak_freq").alias("pg_peak_freq"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from light_curve_spark.operators.multimodal import (
+        decode_and_featurize,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 60, seed=42)
+    out = decode_and_featurize(media, fake=True)
+    return out.select("media_id", "kind", "n_bytes", _r6(F.col("feature")[0]).alias("f0"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tier-cascade rollup of the events series at sf0.001."""
+    return q_rollup_tiers_events(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "amplitude_lineitem": q_amplitude_lineitem,
+        "features_events": q_features_events,
+        "features_events_kernel": q_features_events_kernel,
+        "rollup_tiers_events": q_rollup_tiers_events,
+        "rollup_quantiles_events": q_rollup_quantiles_events,
+        "merge_rollups_events": q_merge_rollups_events,
+        "locf_events_daily": q_locf_events_daily,
+        "interpolate_events": q_interpolate_events,
+        "regrid_events_kernel": q_regrid_events_kernel,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "minhash_lsh_documents": q_minhash_lsh_documents,
+        "simhash_documents": q_simhash_documents,
+        "language_id_documents": q_language_id_documents,
+        "quality_score_documents": q_quality_score_documents,
+        "token_count_documents": q_token_count_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "cosine_topk_embeddings_kernel": q_cosine_topk_embeddings_kernel,
+        "lsh_ann_embeddings": q_lsh_ann_embeddings,
+        "chunk_roundtrip_sequences": q_chunk_roundtrip_sequences,
+        "periodogram_sequences": q_periodogram_sequences,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_WORDS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_FEATURES_EVENTS_SQL = """
+WITH s AS (
+  SELECT user_id, value AS v,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sigma,
+         median(value) OVER w AS med
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT user_id,
+  round(any_value(mu), 6) AS "mean",
+  round(any_value(sigma), 6) AS "std",
+  min(v) AS "min",
+  max(v) AS "max",
+  round(any_value(med), 6) AS "median",
+  CAST(count(v) AS DOUBLE) AS "count",
+  round((max(v) - min(v)) / 2.0, 6) AS amplitude,
+  round(avg(CASE WHEN abs(v - mu) > sigma THEN 1.0 ELSE 0.0 END), 6) AS beyond_1_std,
+  round(avg(CASE WHEN abs(v - mu) > 2.0 * sigma THEN 1.0 ELSE 0.0 END), 6) AS beyond_2_std,
+  round(median(abs(v - med)), 6) AS mad,
+  round(avg(abs(v - mu)) / sqrt(avg((v - mu) * (v - mu))), 6) AS stetson_k
+FROM s
+GROUP BY user_id
+"""
+
+_ROLLUP_TIER_SQL = """
+SELECT user_id, {tier} AS tier,
+       CAST(floor(epoch_us(ts) / {width}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(value), 6) AS v_sum,
+       min(value) AS v_min,
+       max(value) AS v_max,
+       round(round(sum(value), 6) / count(*), 6) AS v_mean
+FROM events GROUP BY 1, 3
+"""
+
+_ROLLUP_TIERS_SQL = " UNION ALL ".join(
+    _ROLLUP_TIER_SQL.format(tier=t, width=f"{86400000000.0 * t!r}")
+    for t in (1, 10, 100)
+)
+
+_ROLLUP_Q_TIER_SQL = """
+SELECT user_id, {tier} AS tier, bucket,
+       round(any_value(med), 6) AS v_median,
+       round(median(abs(v - med)), 6) AS v_mad
+FROM (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / {width}) AS BIGINT) AS bucket,
+         value AS v,
+         median(value) OVER (
+           PARTITION BY user_id, CAST(floor(epoch_us(ts) / {width}) AS BIGINT)
+         ) AS med
+  FROM events
+)
+GROUP BY user_id, bucket
+"""
+
+_ROLLUP_QUANTILES_SQL = " UNION ALL ".join(
+    _ROLLUP_Q_TIER_SQL.format(tier=t, width=f"{86400000000.0 * t!r}")
+    for t in (1, 10, 100)
+)
+
+_LOCF_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         arg_max(value, event_id) AS v
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+g AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM b),
+j AS (SELECT g.user_id, g.day, d.v FROM g LEFT JOIN d USING (user_id, day))
+SELECT user_id, day,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled
+FROM j
+"""
+
+_INTERP_BODY_SQL = """
+u AS (
+  SELECT user_id, t, v, 0 AS is_grid FROM s
+  UNION ALL
+  SELECT user_id, t, CAST(NULL AS DOUBLE), 1 FROM g
+),
+w AS (
+  SELECT user_id, t, is_grid,
+    last_value(v IGNORE NULLS) OVER wp AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS prev_t,
+    first_value(v IGNORE NULLS) OVER wn AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS next_t
+  FROM u
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY t, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY user_id ORDER BY t, is_grid
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, t,
+  round(CASE
+    WHEN prev_t = t THEN prev_v
+    WHEN prev_t IS NULL THEN -1.0
+    WHEN next_t IS NULL THEN -1.0
+    ELSE ((next_t - t) / (next_t - prev_t)) * prev_v
+         + (1.0 - (next_t - t) / (next_t - prev_t)) * next_v
+  END, 6) AS v
+FROM w WHERE is_grid = 1
+"""
+
+_INTERPOLATE_SQL = f"""
+WITH s AS (
+  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS t, value AS v FROM events
+),
+b AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM s GROUP BY 1),
+g AS (
+  SELECT user_id, t0 + ((t1 - t0) / 24.0) * CAST(i AS DOUBLE) AS t
+  FROM b, unnest(range(0, 25)) AS u(i)
+),
+{_INTERP_BODY_SQL}
+"""
+
+_REGRID_SQL = f"""
+WITH s AS (
+  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS t, value AS v FROM events
+),
+bb AS (SELECT min(t) AS t0, max(t) AS t1 FROM s),
+b AS (SELECT DISTINCT user_id, bb.t0, bb.t1 FROM s, bb),
+g AS (
+  SELECT user_id, t0 + ((t1 - t0) / 32.0) * CAST(i AS DOUBLE) AS t
+  FROM b, unnest(range(0, 33)) AS u(i)
+),
+{_INTERP_BODY_SQL}
+"""
+
+_EXACT_DEDUP_SQL = f"""
+SELECT md5({_NORM}) AS digest,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) >= 1
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents),
+g0 AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 3 THEN [] ELSE
+           list_distinct(list_transform(range(1, len(words) - 1),
+                                        i -> array_to_string(words[i:i+2], ' ')))
+         END AS grams
+  FROM w
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 1000),
+gg AS (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram)),
+sz AS (SELECT doc_id, count(*) AS n_grams FROM gg GROUP BY 1),
+i AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+FROM i
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.5
+"""
+
+
+def _lang_sql() -> str:
+    from light_curve_spark.operators.text import _LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"CAST(len(list_filter(words, w -> list_contains([{lst}], w))) AS DOUBLE)"
+            f" / greatest(len(words), 1) AS score_{lang}"
+        )
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = f"CASE WHEN {best} <= 0.0 THEN 'und' "
+    for la in langs:
+        case += f"WHEN score_{la} = {best} THEN '{la}' "
+    case += "END"
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+sc AS (SELECT doc_id, {", ".join(score_exprs)} FROM w)
+SELECT doc_id, {case} AS lang_pred, round({best}, 6) AS lang_score FROM sc
+"""
+
+
+def _quality_sql() -> str:
+    from light_curve_spark.operators.text import _LANG_MARKERS
+
+    lst = ", ".join(f"'{m}'" for m in _LANG_MARKERS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe_chars,
+    CAST(len({_WORDS}) AS DOUBLE) AS n_words,
+    greatest(CAST(len({_WORDS}) AS DOUBLE), 1.0) AS safe_words,
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS upper_c,
+    CAST(len(list_filter({_WORDS}, w -> list_contains([{lst}], w))) AS DOUBLE) AS stop
+  FROM documents
+)
+SELECT doc_id,
+  round(n_chars, 6) AS n_chars_m,
+  round(n_words, 6) AS n_words,
+  round((n_chars - (n_words - 1)) / safe_words, 6) AS mean_word_len,
+  round(punct / safe_chars, 6) AS punct_ratio,
+  round(stop / safe_words, 6) AS stopword_ratio,
+  round(upper_c / safe_chars, 6) AS upper_ratio,
+  round(greatest(least(0.5 + stop / safe_words
+                       - abs((n_chars - (n_words - 1)) / safe_words - 5.0) / 20.0
+                       - punct / safe_chars
+                       - upper_c / safe_chars, 1.0), 0.0), 6) AS quality
+FROM base
+"""
+
+
+_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(list_zip(e.embedding, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(e.embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(q.qe,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+  FROM embeddings e, q
+)
+SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+FROM d ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
+"""
+
+_AMPLITUDE_LINEITEM_SQL = """
+SELECT l_returnflag,
+       round((max(l_extendedprice) - min(l_extendedprice)) / 2.0, 6) AS amplitude,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_extendedprice) AS v_min,
+       max(l_extendedprice) AS v_max
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import re
+
+    def eps(sql: str) -> str:
+        # mirror _r6's epsilon shift into every round( of the oracle SQL
+        return re.sub(r"\bround\(", "round(1e-9 + ", sql)
+
+    return {
+        name: eps(sql)
+        for name, sql in _raw_oracles().items()
+    }
+
+
+def _raw_oracles() -> dict[str, str]:
+    return {
+        "amplitude_lineitem": _AMPLITUDE_LINEITEM_SQL,
+        "features_events": _FEATURES_EVENTS_SQL,
+        "features_events_kernel": _FEATURES_EVENTS_SQL,
+        "rollup_tiers_events": _ROLLUP_TIERS_SQL,
+        "rollup_quantiles_events": _ROLLUP_QUANTILES_SQL,
+        "merge_rollups_events": _ROLLUP_TIERS_SQL,
+        "locf_events_daily": _LOCF_SQL,
+        "interpolate_events": _INTERPOLATE_SQL,
+        "regrid_events_kernel": _REGRID_SQL,
+        "exact_dedup_documents": _EXACT_DEDUP_SQL,
+        "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        "language_id_documents": _lang_sql(),
+        "quality_score_documents": _quality_sql(),
+        "token_count_documents": _TOKEN_COUNT_SQL,
+        "cosine_topk_embeddings": _COSINE_SQL,
+        "cosine_topk_embeddings_kernel": _COSINE_SQL,
+        # no oracle (rows-only checks): minhash_lsh_documents,
+        # simhash_documents, fingerprint_documents, lsh_ann_embeddings,
+        # chunk_roundtrip_sequences, periodogram_sequences, media_features
+    }

@@ -1,0 +1,125 @@
+"""Headline benchmark (driver contract): runs the engine's flagship
+queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], prints ONE JSON line.
+
+Also runs the sequences pipeline workload (synthetic tokens table —
+features + tier rollup + Gorilla encode) and reports the north-star
+throughputs: rolled-up points/sec and token-bytes/sec through encode.
+
+Scaling evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py, which writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from light_curve_spark.session import build_session
+
+HEADLINE = [
+    "rollup_tiers_events",
+    "features_events",
+    "features_events_kernel",
+    "interpolate_events",
+    "locf_events_daily",
+    "cosine_topk_embeddings",
+    "ngram_jaccard_documents",
+    "minhash_lsh_documents",
+    "token_count_documents",
+]
+
+N_SEQ_BENCH = int(os.environ.get("LCS_BENCH_SEQUENCES", "20000"))
+
+
+def _run(df) -> int:
+    """Force full computation of every column (count() would let Catalyst
+    prune the expensive ones)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="lcs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        _run(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # sequences pipeline workload: features -> rollup cascade -> encode
+    import numpy as np
+
+    from light_curve_spark.operators.compress import encode_chunks
+    from light_curve_spark.operators.features import extract_features
+    from light_curve_spark.operators.rollup import rollup_tiers
+    from light_curve_spark.operators.series import explode_series
+    from light_curve_spark.plans.salting import salted_repartition
+    from light_curve_spark.sources.synthetic import synthetic_sequences
+
+    seq = salted_repartition(
+        synthetic_sequences(spark, N_SEQ_BENCH, seed=42), 4 * cpus
+    ).persist()
+    n_tokens = seq.select(F.sum("n_tok")).head()[0]
+
+    t0 = time.time()
+    _run(extract_features(seq, freqs=np.linspace(0.05, 0.45, 9)))
+    timings["seq_features_kernel"] = round(time.time() - t0, 3)
+
+    series = explode_series(seq)
+    rolled = rollup_tiers(series, base_width=16.0, tiers=(1, 10, 100)).persist()
+    t0 = time.time()
+    n_rolled = rolled.count()
+    timings["seq_rollup_cascade"] = round(time.time() - t0, 3)
+    rollup_points_per_sec = n_rolled / timings["seq_rollup_cascade"]
+    rolled.unpersist()
+
+    chunks = encode_chunks(seq, max_len=4096)
+    t0 = time.time()
+    enc_bytes = chunks.select(
+        (F.sum(F.length("ts_dod")) + F.sum(F.length("vals_gorilla"))).alias("b")
+    ).head()[0]
+    timings["seq_gorilla_encode"] = round(time.time() - t0, 3)
+    token_bytes_per_sec = (n_tokens * 4) / timings["seq_gorilla_encode"]
+    seq.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_seq_pipeline_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "cpus": cpus,
+                "n_sequences": N_SEQ_BENCH,
+                "n_tokens": int(n_tokens),
+                "rollup_points_per_sec": round(rollup_points_per_sec),
+                "token_bytes_per_sec_encode": round(token_bytes_per_sec),
+                "rolled_points": int(n_rolled),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,14 +39,15 @@ def _norm_text(col: str = "text") -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
 
 
-def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_dedup(docs: DataFrame, text_col: str = "text", min_dups: int = 2) -> DataFrame:
     """Groups of byte-identical (normalized) documents:
-    (digest, n_dups, keep_id) for groups with >1 member."""
+    (digest, n_dups, keep_id). ``min_dups=2`` (default) returns only true
+    duplicate groups; ``min_dups=1`` returns every group (digest audit)."""
     return (
         docs.select(F.col("doc_id"), F.md5(_norm_text(text_col)).alias("digest"))
         .groupBy("digest")
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
-        .filter(F.col("n_dups") > 1)
+        .filter(F.col("n_dups") >= min_dups)
     )
 
 
@@ -54,10 +55,14 @@ def word_ngrams(text_col: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-grams as an array column — built-ins only:
     split -> transform over a sliding index sequence -> array_distinct."""
     words = F.split(_norm_text(text_col), " ")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
+    k = F.size(words) - F.lit(n - 1)
+    # guard: F.sequence(1, k) is DESCENDING for k < 1 — short docs must
+    # yield an empty gram array, not [1, 0]-indexed garbage
+    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
     )
     return F.array_distinct(grams)
 
@@ -192,16 +197,18 @@ def simhash(text_col: str = "text", bits: int = 64) -> F.Column:
     is the sign of the sum over words of (+1 / -1) for that bit."""
     words = F.split(_norm_text(text_col), " ")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
+    def _vote(bit):
+        # factory (not a default arg) — Spark introspects the lambda's
+        # parameter count, so it must be exactly (acc, h)
+        return lambda acc, h: acc + F.when(h.bitwiseAND(bit) != 0, 1).otherwise(-1)
+
     bit_cols = []
     for i in range(bits):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1),
-        )
+        # NOTE: 1 << 63 overflows a literal long — use shiftleft instead
+        bit_i = F.shiftleft(F.lit(1).cast("long"), i)
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote(bit_i))
         bit_cols.append(
-            F.when(votes > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(votes > 0, bit_i).otherwise(F.lit(0).cast("long"))
         )
     out = bit_cols[0]
     for c in bit_cols[1:]:

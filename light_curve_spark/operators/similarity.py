@@ -27,10 +27,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _f64(col: str) -> F.Column:
+    # embeddings are float32 on disk; promote BEFORE multiplying so the
+    # products accumulate in f64 (float*float would square in f32 and the
+    # 1e-7 relative error survives into the cosine)
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
 def _dot_expr(col: str, qvec: list[float]) -> F.Column:
     q = F.array(*[F.lit(float(x)) for x in qvec])
     return F.aggregate(
-        F.zip_with(F.col(col), q, lambda a, b: a * b),
+        F.zip_with(_f64(col), q, lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -38,7 +45,7 @@ def _dot_expr(col: str, qvec: list[float]) -> F.Column:
 
 def _norm_expr(col: str) -> F.Column:
     return F.sqrt(
-        F.aggregate(F.col(col), F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(_f64(col), F.lit(0.0), lambda acc, x: acc + x * x)
     )
 
 
@@ -111,7 +118,7 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
     for i, plane in enumerate(planes):
         dot = F.aggregate(
             F.zip_with(
-                F.col(vec_col),
+                _f64(vec_col),
                 F.array(*[F.lit(float(x)) for x in plane]),
                 lambda a, b: a * b,
             ),

@@ -108,7 +108,7 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.trim(F.col(text_col))
     ws = F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
-    pieces = F.regexp_count(t, r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]")
+    pieces = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"))
     return docs.select(
         "doc_id",
         ws.cast("long").alias("ws_tokens"),

@@ -108,6 +108,16 @@ class ParquetSnapshotStorage:
             raise ValueError(f"table {table} has no snapshots")
         return self.spark.read.parquet(*[s["path"] for s in upto])
 
+    def read_snapshot(self, table: str, snap_id: str | None = None) -> DataFrame:
+        """Read EXACTLY one snapshot (default: latest) — for tables with
+        replace-on-write semantics (e.g. the continuous rollup, where
+        each snapshot holds the full merged state)."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise ValueError(f"table {table} has no snapshots")
+        snap = snaps[-1] if snap_id is None else snaps[_index_of(snaps, snap_id)]
+        return self.spark.read.parquet(snap["path"])
+
 
 def _index_of(snaps: list[dict], snap_id: str) -> int:
     for i, s in enumerate(snaps):
