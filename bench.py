@@ -69,8 +69,7 @@ def main() -> None:
 
     from light_curve_spark.operators.compress import encode_chunks
     from light_curve_spark.operators.features import extract_features
-    from light_curve_spark.operators.rollup import rollup_tiers
-    from light_curve_spark.operators.series import explode_series
+    from light_curve_spark.operators.rollup import rollup_tiers_arrays
     from light_curve_spark.plans.salting import salted_repartition
     from light_curve_spark.sources.synthetic import synthetic_sequences
 
@@ -83,8 +82,7 @@ def main() -> None:
     _run(extract_features(seq, freqs=np.linspace(0.05, 0.45, 9)))
     timings["seq_features_kernel"] = round(time.time() - t0, 3)
 
-    series = explode_series(seq)
-    rolled = rollup_tiers(series, base_width=16.0, tiers=(1, 10, 100)).persist()
+    rolled = rollup_tiers_arrays(seq, base_width=16, tiers=(1, 10, 100)).persist()
     t0 = time.time()
     n_rolled = rolled.count()
     timings["seq_rollup_cascade"] = round(time.time() - t0, 3)

@@ -80,26 +80,81 @@ def _ctz64(x: np.ndarray) -> np.ndarray:
     return out
 
 
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    """Reusable per-process buffers: fresh large numpy allocations pay
+    cold-page-fault cost on every call in this environment (~100x the
+    compute cost of the ops using them); a growable arena pays it once
+    per worker process."""
+    arr = _SCRATCH.get(name)
+    if arr is None or arr.shape[0] < size:
+        arr = np.empty(int(size * 1.5) + 64, dtype=dtype)
+        _SCRATCH[name] = arr
+    return arr[:size]
+
+
 def _pack_varbits(hi: np.ndarray, lo: np.ndarray, lengths: np.ndarray) -> bytes:
     """Flatten per-element payloads into a packed MSB-first bitstream.
 
     Element i contributes its low ``lengths[i]`` bits of the 128-bit value
-    ``hi[i] << 64 | lo[i]``, written most-significant-first. Vectorized:
-    one repeat + one cumsum + one packbits, no Python loop.
+    ``hi[i] << 64 | lo[i]``, written most-significant-first. Vectorized
+    with arena-backed in-place ops — zero fresh large allocations in
+    steady state, no Python loop over elements.
     """
     lengths = lengths.astype(np.int64)
     total = int(lengths.sum())
     if total == 0:
         return b""
-    elem = np.repeat(np.arange(lengths.shape[0]), lengths)
+    nz = lengths > 0
+    if not nz.all():
+        hi, lo, lengths = hi[nz], lo[nz], lengths[nz]
+    m = lengths.shape[0]
     offsets = np.cumsum(lengths) - lengths
-    pos_in_elem = np.arange(total, dtype=np.int64) - offsets[elem]
-    shift = lengths[elem] - 1 - pos_in_elem  # MSB-first
-    in_lo = shift < 64
-    sh = np.where(in_lo, shift, shift - 64).astype(_U64)
-    src = np.where(in_lo, lo[elem], hi[elem])
-    bits = ((src >> sh) & _U64(1)).astype(np.uint8)
-    return np.packbits(bits).tobytes()
+
+    # Word-level assembly: the stream is big-endian uint64 words; element
+    # i's payload, placed at stream bits [off, off+len), is the 128-bit
+    # value (hi:lo) shifted left by s = 192 - (off & 63) - len inside a
+    # 3-word window starting at word off >> 6. Three OR-contributions per
+    # element (vs one op per BIT in the naive expansion).
+    b0 = (offsets & 63).astype(_U64)
+    s = _U64(192) - b0 - lengths.view(_U64)
+    q = (s >> _U64(6)).astype(np.int8)  # window word of the shift: 0,1,2
+    r = s & _U64(63)
+    rs = _U64(64) - r
+
+    def srl(x, k):  # right shift by k in [1, 64] (two <=63 steps)
+        return (x >> _U64(1)) >> (k - _U64(1))
+
+    lo_r = lo << r
+    hi_r = (hi << r) | srl(lo, rs)
+    car = srl(hi, rs)
+    # q == 0: (V2, V1, V0) = (car, hi_r, lo_r)
+    # q == 1: (V2, V1, V0) = (hi_r, lo_r, 0)
+    # q == 2: (V2, V1, V0) = (lo_r, 0, 0)   [hi == 0 whenever s >= 128]
+    q0 = q == 0
+    q1 = q == 1
+    V2 = np.where(q0, car, np.where(q1, hi_r, lo_r))
+    V1 = np.where(q0, hi_r, np.where(q1, lo_r, _U64(0)))
+    V0 = np.where(q0, lo_r, _U64(0))
+
+    n_words = (total + 63) >> 6
+    words = _scratch("pv_words", n_words, _U64)
+    words[:] = 0
+    w0 = offsets >> 6
+    for delta, V in ((0, V2), (1, V1), (2, V0)):
+        idx = w0 + delta
+        ok = (idx < n_words) & (V != 0)
+        idxo = idx[ok]
+        Vo = V[ok]
+        if idxo.shape[0] == 0:
+            continue
+        seg = np.flatnonzero(np.r_[True, idxo[1:] != idxo[:-1]])
+        vals = np.bitwise_or.reduceat(Vo, seg)
+        tgt = idxo[seg]
+        words[tgt] |= vals
+    return words.byteswap().tobytes()[: (total + 7) >> 3]
 
 
 class _BitReader:
@@ -253,6 +308,124 @@ def decode_values(buf: bytes) -> np.ndarray:
         prev ^= meaningful << trail
         out[i] = prev
     return out
+
+
+def _xor_payloads(xor: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hi, lo, bit-lengths) for an array of XOR tokens (vectorized core
+    shared by the single-series and batch encoders)."""
+    m = xor.shape[0]
+    lengths = np.ones(m, dtype=np.int64)
+    lo = np.zeros(m, dtype=_U64)
+    hi = np.zeros(m, dtype=_U64)
+    nz = np.flatnonzero(xor != 0)
+    if nz.size:
+        lead = _clz64(xor[nz])
+        trail = _ctz64(xor[nz])
+        mlen = np.maximum(64 - lead - trail, 1)
+        L = lead.astype(_U64)
+        ml = mlen.astype(_U64)
+        meaningful = xor[nz] >> trail.astype(_U64)
+        head = (_U64(1) << _U64(12)) | (L << _U64(6)) | (ml - _U64(1))
+        s1 = np.minimum(ml, _U64(63))
+        s2 = ml - s1
+        lo[nz] = ((head << s1) << s2) | meaningful
+        hi[nz] = head >> (_U64(64) - ml)
+        lengths[nz] = 13 + mlen
+    return hi, lo, lengths
+
+
+def encode_values_batch(values_list: list[np.ndarray]) -> list[bytes]:
+    """Batch Gorilla-XOR encode: MANY series in one vectorized pass.
+
+    Same output format as :func:`encode_values` per series (byte-for-byte
+    — tested), but the clz/ctz/payload computation and the bit packing
+    run over the CONCATENATION of all series; each series' bitstream is
+    byte-aligned by appending a zero-payload pad element of
+    ``(-bits) % 8`` bits, and the packed buffer is sliced at the per-row
+    byte offsets. Removes the ~1 ms/row Python overhead of calling the
+    single-series encoder in a loop — the difference between the encode
+    stage scaling with cores and being flat (BENCH.md).
+    """
+    R = len(values_list)
+    if R == 0:
+        return []
+    arrs = [np.asarray(v, dtype=np.int64) for v in values_list]
+    lengths = np.fromiter((a.shape[0] for a in arrs), dtype=np.int64, count=R)
+    headers = []
+    for a, n in zip(arrs, lengths):
+        h = struct.pack("<I", int(n))
+        if n:
+            h += struct.pack("<Q", int(a[0].view(_U64)))
+        headers.append(h)
+    if (lengths <= 1).all():
+        return headers
+
+    flat = np.concatenate(arrs).view(_U64)
+    total = flat.shape[0]
+    starts = np.cumsum(lengths) - lengths
+    elem = np.repeat(np.arange(R), lengths)
+    prev = np.empty_like(flat)
+    prev[1:] = flat[:-1]
+    prev[0] = 0
+    xor = flat ^ prev
+    first = np.zeros(total, dtype=bool)
+    first[starts[lengths > 0]] = True
+    sel = ~first
+    hi, lo, bits = _xor_payloads(xor[sel])
+    row_of = elem[sel]
+    m = bits.shape[0]
+
+    bits_per_row = np.bincount(row_of, weights=bits, minlength=R).astype(np.int64)
+    pad = (-bits_per_row) % 8
+    cnt = np.maximum(lengths - 1, 0)
+    starts_nf = np.cumsum(cnt) - cnt
+    # interleave: row r's tokens at starts_nf[r]+r .., then its pad element
+    full_n = m + R
+    hi_f = np.zeros(full_n, dtype=_U64)
+    lo_f = np.zeros(full_n, dtype=_U64)
+    len_f = np.zeros(full_n, dtype=np.int64)
+    idx_nf = np.arange(m) + row_of
+    hi_f[idx_nf] = hi
+    lo_f[idx_nf] = lo
+    len_f[idx_nf] = bits
+    idx_pad = starts_nf + cnt + np.arange(R)
+    len_f[idx_pad] = pad
+
+    buf = _pack_varbits(hi_f, lo_f, len_f)
+    nbytes = (bits_per_row + pad) // 8
+    offs = np.cumsum(nbytes) - nbytes
+    mv = memoryview(buf)
+    return [
+        headers[r] + bytes(mv[offs[r] : offs[r] + nbytes[r]]) for r in range(R)
+    ]
+
+
+_REGULAR_TS_BITS_CACHE: dict[int, bytes] = {}
+
+
+def encode_timestamps_regular(n: int, t0: int) -> bytes:
+    """Fast path of :func:`encode_timestamps` for the canonical sequence
+    time axis t = t0, t0+1, ..., t0+n-1 (consecutive positions): the
+    delta-of-delta stream is [1, 0, 0, ...] and depends only on n, so the
+    packed bits are cached per length. Byte-identical to the general
+    encoder (tested)."""
+    header = struct.pack("<I", n)
+    if n == 0:
+        return header
+    header += struct.pack("<q", t0)
+    if n == 1:
+        return header
+    cached = _REGULAR_TS_BITS_CACHE.get(n)
+    if cached is None:
+        nbits = 9 + (n - 2)  # '10'+7bit(dod=1+63) then (n-2) zero bits
+        bits = np.zeros(nbits, dtype=np.uint8)
+        code = (0b10 << 7) | (1 + 63)
+        for j in range(9):
+            bits[j] = (code >> (8 - j)) & 1
+        cached = np.packbits(bits).tobytes()
+        if len(_REGULAR_TS_BITS_CACHE) < 1 << 15:
+            _REGULAR_TS_BITS_CACHE[n] = cached
+    return header + cached
 
 
 def encode_chunk(t: np.ndarray, v: np.ndarray) -> dict:

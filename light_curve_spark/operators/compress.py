@@ -17,6 +17,7 @@ scheme; vectorized encode, see that module's docstring).
 from __future__ import annotations
 
 import time
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,7 +37,6 @@ from pyspark.sql.types import (
 from light_curve_spark.kernels.compression import (
     decode_timestamps,
     decode_values,
-    encode_chunk,
 )
 
 CHUNK_SCHEMA = StructType(
@@ -115,27 +115,37 @@ def encode_chunks(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
+        from light_curve_spark.kernels.compression import (
+            encode_timestamps_regular,
+            encode_values_batch,
+        )
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         for pdf in batches:
             t_start = time.time()
+            toks_list = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
+            vals = encode_values_batch(toks_list)  # one vectorized pass
             rows = []
-            for doc_id, source, chunk_no, toks in zip(
-                pdf["doc_id"], pdf["source"], pdf["chunk_no"], pdf["tokens"]
+            for doc_id, source, chunk_no, toks, vg in zip(
+                pdf["doc_id"], pdf["source"], pdf["chunk_no"], toks_list, vals
             ):
-                v = np.asarray(toks, dtype=np.int64)
-                t = np.arange(v.shape[0], dtype=np.int64) + int(chunk_no) * max_len
-                c = encode_chunk(t, v)
+                n = toks.shape[0]
+                t0 = int(chunk_no) * max_len
+                crc = zlib.crc32(
+                    (np.arange(n, dtype=np.int64) + t0).astype("<i8").tobytes()
+                )
+                crc = zlib.crc32(toks.astype("<i8").tobytes(), crc)
                 rows.append(
                     (
                         doc_id,
                         source,
                         int(chunk_no),
-                        c["t0"],
-                        c["n"],
-                        c["ts_dod"],
-                        c["vals_gorilla"],
-                        c["checksum"],
+                        t0 if n else 0,
+                        n,
+                        encode_timestamps_regular(n, t0),
+                        vg,
+                        crc,
                     )
                 )
             out = pd.DataFrame(rows, columns=cols)

@@ -150,9 +150,10 @@ def minhash_lsh_pairs(
     with_sig = with_sig.withColumn(
         "sig", _minhash_signature(F.col("grams"), num_hashes)
     )
+    # band WITHOUT the gram arrays: the band join + distinct must move
+    # only (doc_id, band) keys, never document content
     banded = with_sig.select(
         "doc_id",
-        "grams",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -164,7 +165,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "grams", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -178,10 +179,21 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.grams").alias("grams_a"),
-            F.col("b.grams").alias("grams_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
+    )
+    # verify: attach gram sets to the (few) surviving pairs only
+    grams_only = with_sig.select("doc_id", "grams")
+    cand = cand.join(
+        grams_only.select(
+            F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
+        ),
+        "doc_a",
+    ).join(
+        grams_only.select(
+            F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
+        ),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size("grams_a") + F.size("grams_b") - inter

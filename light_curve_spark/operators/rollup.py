@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -77,6 +78,118 @@ def rollup_tiers(
         "v_min",
         "v_max",
         (F.col("v_sum") / F.col("n_points")).alias("v_mean"),
+    )
+
+
+def rollup_tiers_arrays(
+    seq: DataFrame,
+    base_width: int = 16,
+    tiers: tuple[int, ...] = (1, 10, 100),
+) -> DataFrame:
+    """Array-native tier cascade for the SEQUENCES table: zero shuffle.
+
+    A sequence's time axis is its own token positions, so every tier
+    bucket of a given doc lives inside that one row — groupBy would
+    shuffle 6M exploded points to co-locate data that is already
+    co-located. Instead the whole 1x/10x/100x cascade runs inside one
+    mapInPandas pass, segment-vectorized (reduceat over bucket
+    boundaries; coarser tiers reduce the finer tier's partials, same
+    cascade math as :func:`rollup_tiers`). ~25x fewer rows ever leave
+    the kernel, and none of them cross an exchange.
+
+    At 100 TB this is the difference between the rollup being a free
+    rider on the feature-extraction scan and being the job's largest
+    shuffle. Results are identical to rollup_tiers(explode_series(seq))
+    (tested). Output: (doc_id, source, tier, bucket, n_points, v_sum,
+    v_min, v_max, v_mean).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("source", StringType(), True),
+            StructField("tier", IntegerType(), False),
+            StructField("bucket", LongType(), False),
+            StructField("n_points", LongType(), False),
+            StructField("v_sum", DoubleType(), False),
+            StructField("v_min", DoubleType(), False),
+            StructField("v_max", DoubleType(), False),
+            StructField("v_mean", DoubleType(), False),
+        ]
+    )
+
+    for prev_t, t in zip(tiers, tiers[1:]):
+        if t % prev_t != 0:
+            raise ValueError(f"tier {t} not a multiple of {prev_t}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            lengths = pdf["n_tok"].to_numpy().astype(np.int64)
+            flat = np.concatenate(pdf["tokens"].to_list()).astype(np.float64)
+            starts = np.cumsum(lengths) - lengths
+            elem = np.repeat(np.arange(lengths.shape[0]), lengths)
+            pos = np.arange(flat.shape[0], dtype=np.int64) - starts[elem]
+
+            out_frames = []
+            # tier 1 from raw, segment boundaries where (row, bucket) changes
+            width = base_width * tiers[0]
+            bucket = pos // width
+            gid = elem * (1 << 40) | bucket  # composite, monotone within batch
+            seg = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+            s_elem = elem[seg]
+            s_bucket = bucket[seg]
+            s_n = np.diff(np.r_[seg, flat.shape[0]])
+            s_sum = np.add.reduceat(flat, seg)
+            s_min = np.minimum.reduceat(flat, seg)
+            s_max = np.maximum.reduceat(flat, seg)
+
+            def emit(tier, e, b, n, sm, mn, mx):
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].to_numpy()[e],
+                            "source": pdf["source"].to_numpy()[e],
+                            "tier": np.int32(tier),
+                            "bucket": b,
+                            "n_points": n,
+                            "v_sum": sm,
+                            "v_min": mn,
+                            "v_max": mx,
+                            "v_mean": sm / n,
+                        }
+                    )
+                )
+
+            emit(tiers[0], s_elem, s_bucket, s_n, s_sum, s_min, s_max)
+            for prev_t, t in zip(tiers, tiers[1:]):
+                f = t // prev_t
+                cb = s_bucket // f
+                cg = s_elem * (1 << 40) | cb
+                cseg = np.flatnonzero(np.r_[True, cg[1:] != cg[:-1]])
+                s_n = np.add.reduceat(s_n, cseg)
+                s_sum = np.add.reduceat(s_sum, cseg)
+                s_min = np.minimum.reduceat(s_min, cseg)
+                s_max = np.maximum.reduceat(s_max, cseg)
+                s_elem = s_elem[cseg]
+                s_bucket = cb[cseg]
+                emit(t, s_elem, s_bucket, s_n, s_sum, s_min, s_max)
+            yield pd.concat(out_frames, ignore_index=True)
+
+    return seq.select("doc_id", "source", "tokens", "n_tok").mapInPandas(
+        fn, schema=schema
     )
 
 

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 from light_curve_spark.operators.compress import encode_chunks
 from light_curve_spark.operators.features import extract_features
-from light_curve_spark.operators.rollup import rollup_quantiles, rollup_tiers
+from light_curve_spark.operators.rollup import (
+    rollup_quantiles,
+    rollup_tiers_arrays,
+)
 from light_curve_spark.operators.series import explode_series
 from light_curve_spark.plans.salting import salted_repartition
 
@@ -97,11 +100,14 @@ def run_pipeline(
             feats = extract_features(gseq, freqs=np.asarray(cfg.freqs))
             storage.append(feats, "features")
 
-            series = explode_series(gseq)
+            # array-native cascade: zero-shuffle (see rollup_tiers_arrays)
             storage.append(
-                rollup_tiers(series, base_width=cfg.base_width, tiers=cfg.tiers),
+                rollup_tiers_arrays(
+                    gseq, base_width=int(cfg.base_width), tiers=cfg.tiers
+                ),
                 "rollup",
             )
+            series = explode_series(gseq)
             storage.append(
                 rollup_quantiles(series, base_width=cfg.base_width, tiers=cfg.tiers),
                 "rollup_quantiles",

@@ -28,8 +28,7 @@ from pyspark.sql import functions as F
 from light_curve_spark.session import build_session
 from light_curve_spark.operators.compress import encode_chunks
 from light_curve_spark.operators.features import extract_features
-from light_curve_spark.operators.rollup import rollup_tiers
-from light_curve_spark.operators.series import explode_series
+from light_curve_spark.operators.rollup import rollup_tiers_arrays
 from light_curve_spark.plans.salting import salted_repartition
 from light_curve_spark.sources.synthetic import synthetic_sequences
 
@@ -51,9 +50,8 @@ t0 = time.time()
 run(extract_features(seq, freqs=np.linspace(0.05, 0.45, 9)))
 t_feat = time.time() - t0
 
-series = explode_series(seq)
 t0 = time.time()
-rolled = rollup_tiers(series, base_width=16.0, tiers=(1, 10, 100))
+rolled = rollup_tiers_arrays(seq, base_width=16, tiers=(1, 10, 100))
 n_rolled = rolled.count()
 t_roll = time.time() - t0
 

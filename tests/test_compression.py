@@ -107,6 +107,40 @@ def test_vals_random_tokens_property():
         vals_roundtrip(rng.integers(0, 50257, size=n))
 
 
+# --- batch encoders (vectorized-across-rows fast path) -----------------------
+
+def test_batch_values_byte_identical_to_single():
+    from light_curve_spark.kernels.compression import encode_values_batch
+
+    rng = np.random.default_rng(11)
+    series = [
+        rng.integers(-(2**40), 2**40, size=int(n))
+        for n in [1, 2, 3, 17, 128, 1000, 1]
+    ] + [np.full(64, 9), np.array([0]), np.arange(5)]
+    batch = encode_values_batch([s.astype(np.int64) for s in series])
+    for s, b in zip(series, batch):
+        assert b == encode_values(s.astype(np.int64)), s[:5]
+
+
+def test_batch_values_empty_and_roundtrip():
+    from light_curve_spark.kernels.compression import encode_values_batch
+
+    assert encode_values_batch([]) == []
+    series = [np.array([], dtype=np.int64), np.array([7], dtype=np.int64)]
+    batch = encode_values_batch(series)
+    assert decode_values(batch[0]).shape == (0,)
+    assert decode_values(batch[1]).view(np.int64).tolist() == [7]
+
+
+def test_regular_timestamps_byte_identical_to_general():
+    from light_curve_spark.kernels.compression import encode_timestamps_regular
+
+    for n in [0, 1, 2, 3, 9, 100, 4096]:
+        for t0 in [0, 4096, 12288]:
+            t = np.arange(n, dtype=np.int64) + t0
+            assert encode_timestamps_regular(n, t0) == encode_timestamps(t), (n, t0)
+
+
 # --- chunk struct ------------------------------------------------------------
 
 def test_chunk_roundtrip_exact():

@@ -150,6 +150,29 @@ def test_rollup_cascade_matches_direct(spark, seq100):
     series.unpersist()
 
 
+def test_rollup_arrays_matches_relational(spark, seq100):
+    """The zero-shuffle array-native cascade must equal
+    rollup_tiers(explode_series(...)) exactly."""
+    from light_curve_spark.operators.rollup import rollup_tiers_arrays
+
+    rel = {
+        (r.doc_id, r.tier, r.bucket): (r.n_points, r.v_sum, r.v_min, r.v_max, r.v_mean)
+        for r in rollup_tiers(
+            explode_series(seq100), base_width=16.0, tiers=(1, 10, 100)
+        ).collect()
+    }
+    arr = {
+        (r.doc_id, r.tier, r.bucket): (r.n_points, r.v_sum, r.v_min, r.v_max, r.v_mean)
+        for r in rollup_tiers_arrays(seq100, base_width=16, tiers=(1, 10, 100)).collect()
+    }
+    assert set(rel) == set(arr)
+    for k, (n, s, mn, mx, mean) in rel.items():
+        an, asum, amn, amx, amean = arr[k]
+        assert an == n and amn == mn and amx == mx
+        assert asum == pytest.approx(s, rel=1e-12)
+        assert amean == pytest.approx(mean, rel=1e-12)
+
+
 def test_rollup_quantiles(spark, seq100):
     series = explode_series(seq100)
     q = rollup_quantiles(series, base_width=16.0, tiers=(1,)).filter(
