@@ -85,14 +85,34 @@ def run_at(cpus: int, n_rows: int) -> dict:
 
 
 def main() -> None:
+    # modes:
+    #   scaling_bench.py [n]                  run both levels, write BENCH.md
+    #   scaling_bench.py --single CPUS N OUT  one level -> OUT json
+    #   scaling_bench.py --compose R8 R32     compose BENCH.md from jsons
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        cpus, n_rows, out = int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+        res = run_at(cpus, n_rows)
+        with open(out, "w") as f:
+            json.dump(res, f)
+        print(res)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--compose":
+        with open(sys.argv[2]) as f:
+            r8 = json.load(f)
+        with open(sys.argv[3]) as f:
+            r32 = json.load(f)
+        _write_report(r8, r32, r8["n_sequences"])
+        return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     results = {}
     for cpus in (8, 32):
         t0 = time.time()
         results[cpus] = run_at(cpus, n_rows)
         print(f"local[{cpus}]: {results[cpus]}  (wall {time.time()-t0:.0f}s)")
+    _write_report(results[8], results[32], n_rows)
 
-    r8, r32 = results[8], results[32]
+
+def _write_report(r8: dict, r32: dict, n_rows: int) -> None:
     tput8 = r8["n_tokens"] / r8["t_total"]
     tput32 = r32["n_tokens"] / r32["t_total"]
     eff = (tput32 / tput8) / 4.0
@@ -108,8 +128,7 @@ def main() -> None:
         "| config | features s | rollup s | encode s | total s | tokens/s |",
         "|---|---|---|---|---|---|",
     ]
-    for cpus in (8, 32):
-        r = results[cpus]
+    for cpus, r in ((8, r8), (32, r32)):
         lines.append(
             f"| local[{cpus}] | {r['t_features']:.2f} | {r['t_rollup']:.2f} "
             f"| {r['t_encode']:.2f} | {r['t_total']:.2f} "
