@@ -55,18 +55,29 @@ def rollup_tiers(
     keys: list[str] | None = None,
     base_width: float = 16.0,
     tiers: tuple[int, ...] = (1, 10, 100),
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """(key..., tier, bucket, n_points, v_sum, v_min, v_max, v_mean) for
     every retention tier, cascaded. ``tiers`` must be ascending and each
-    divisible by its predecessor."""
+    divisible by its predecessor.
+
+    ``persist_intermediate`` caches each finer tier so the physical plan
+    scans the raw series ONCE: without it, the union's three branches
+    each recompute their full lineage (3 raw scans + 6 exchanges at 3
+    tiers — verified in PLANS.md). Cached partials are tiny relative to
+    raw (1/base_width per tier) and evict under LRU."""
     keys = keys or ["doc_id", "source"]
     tiered: list[DataFrame] = []
     cur = _base_rollup(series, keys, base_width * tiers[0])
+    if persist_intermediate and len(tiers) > 1:
+        cur = cur.persist()
     tiered.append(cur.withColumn("tier", F.lit(tiers[0])))
-    for prev_t, t in zip(tiers, tiers[1:]):
+    for i, (prev_t, t) in enumerate(zip(tiers, tiers[1:])):
         if t % prev_t != 0:
             raise ValueError(f"tier {t} not a multiple of {prev_t}")
         cur = _cascade(cur, keys, t // prev_t)
+        if persist_intermediate and i < len(tiers) - 2:
+            cur = cur.persist()
         tiered.append(cur.withColumn("tier", F.lit(t)))
     out = reduce(lambda a, b: a.unionByName(b), tiered)
     return out.select(
