@@ -98,7 +98,7 @@ def run_pipeline(
         gseq.persist()
         try:
             feats = extract_features(gseq, freqs=np.asarray(cfg.freqs))
-            storage.append(feats, "features")
+            storage.append(feats, "features", partition_by=["source"])
 
             # array-native cascade: zero-shuffle (see rollup_tiers_arrays)
             storage.append(
@@ -106,18 +106,22 @@ def run_pipeline(
                     gseq, base_width=int(cfg.base_width), tiers=cfg.tiers
                 ),
                 "rollup",
+                partition_by=["tier", "source"],
             )
             series = explode_series(gseq)
             storage.append(
                 rollup_quantiles(series, base_width=cfg.base_width, tiers=cfg.tiers),
                 "rollup_quantiles",
+                partition_by=["tier"],
             )
 
             chunks = encode_chunks(
                 gseq, max_len=cfg.max_chunk_len, with_lineage=True
             )
             chunks.persist()
-            storage.append(chunks.drop("_pid", "_wall_ms"), "chunks")
+            storage.append(
+                chunks.drop("_pid", "_wall_ms"), "chunks", partition_by=["source"]
+            )
             lineage = (
                 chunks.groupBy(F.col("_pid").alias("partition_id"))
                 .agg(

@@ -41,11 +41,14 @@ def salted_repartition(
 def weighted_salted_repartition(
     seq: DataFrame,
     num_partitions: int,
-    target_tokens_per_part: int = 2_000_000,
+    salt_domain: int = 4096,
 ) -> DataFrame:
-    """Byte-weighted salting: a sequence with large n_tok lands in a salt
-    domain proportional to its size, so one hot doc_id bucket full of
-    16k-token outliers cannot dominate a partition."""
-    weight = (F.col("n_tok") / F.lit(target_tokens_per_part) + F.lit(1)).cast("int")
-    salt = F.pmod(F.hash("doc_id", F.lit("wsalt")), weight * F.lit(8))
-    return seq.repartition(num_partitions, F.col("source"), salt)
+    """Byte-balancing salt: every row gets an independent wide-domain
+    salt, so partition load converges to uniform in BYTES regardless of
+    the n_tok long tail or the skewed source distribution (a (source)-
+    or narrow-salt partitioner leaves one partition holding the web/
+    outlier mass). Rows are unique sequences, so pure spreading — unlike
+    the hot-KEY salting in :func:`salted_repartition` — is safe: nothing
+    downstream regroups by the salt."""
+    salt = F.pmod(F.hash("doc_id", F.lit("wsalt")), F.lit(salt_domain))
+    return seq.repartition(num_partitions, salt)

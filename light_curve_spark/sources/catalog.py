@@ -84,11 +84,18 @@ class ParquetSnapshotStorage:
         snaps = self.snapshots(table)
         return snaps[-1]["id"] if snaps else None
 
-    def append(self, df: DataFrame, table: str) -> str:
-        """Append df as a new snapshot; returns the snapshot id."""
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
+        """Append df as a new snapshot; returns the snapshot id.
+
+        ``partition_by`` mirrors Iceberg partition specs (SURVEY.md §4.3:
+        rollup tables by (tier, source), chunk table by source) so reads
+        get partition pruning and writes need no extra shuffle."""
         snap_id = uuid.uuid4().hex[:16]
         out = os.path.join(self.root, table, f"snap-{snap_id}")
-        df.write.mode("error").parquet(out)
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
         snaps = self.snapshots(table)
         snaps.append({"id": snap_id, "committed_at": time.time(), "path": out})
         os.makedirs(os.path.join(self.root, table), exist_ok=True)
@@ -106,7 +113,14 @@ class ParquetSnapshotStorage:
             upto = snaps
         if not upto:
             raise ValueError(f"table {table} has no snapshots")
-        return self.spark.read.parquet(*[s["path"] for s in upto])
+        # one read per snapshot root: each root may carry hive-style
+        # partition dirs (tier=X/source=Y), and Spark's partition
+        # discovery rejects multiple such roots in a single read
+        dfs = [self.spark.read.parquet(s["path"]) for s in upto]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
 
     def read_snapshot(self, table: str, snap_id: str | None = None) -> DataFrame:
         """Read EXACTLY one snapshot (default: latest) — for tables with
@@ -133,7 +147,9 @@ class IcebergStorage:
         self.spark = spark
         self.catalog = catalog
 
-    def append(self, df: DataFrame, table: str) -> str:
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
+        # Iceberg partitioning lives in the table spec (PARTITIONED BY at
+        # CREATE TABLE); the argument is accepted for interface parity.
         df.writeTo(table).append()
         row = self.spark.sql(
             f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
