@@ -251,6 +251,34 @@ def q_regrid_events_kernel(spark, sf_dir):
     )
 
 
+def q_eta_trend_events(spark, sf_dir):
+    from light_curve_spark.operators.features import series_dynamics_relational
+
+    out = series_dynamics_relational(_events_series(spark, sf_dir), keys=["user_id"])
+    return out.select("user_id", _r6("eta").alias("eta"), _r6("trend").alias("trend"))
+
+
+_DMDT_ARGS = dict(
+    dt_width=2.6e11, dm_width=40.0, n_dt=10, n_dm=10, dm_offset=200.0
+)
+
+
+def q_dmdt_events(spark, sf_dir):
+    from light_curve_spark.operators.dmdt import dmdt_relational
+
+    return dmdt_relational(
+        _events_series(spark, sf_dir), keys=["user_id"], **_DMDT_ARGS
+    )
+
+
+def q_dmdt_events_kernel(spark, sf_dir):
+    from light_curve_spark.operators.dmdt import dmdt_kernel
+
+    return dmdt_kernel(
+        _events_series(spark, sf_dir), keys=["user_id"], **_DMDT_ARGS
+    )
+
+
 def q_exact_dedup_documents(spark, sf_dir):
     from light_curve_spark.operators.dedup import exact_dedup
 
@@ -398,6 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_events_daily": q_locf_events_daily,
         "interpolate_events": q_interpolate_events,
         "regrid_events_kernel": q_regrid_events_kernel,
+        "eta_trend_events": q_eta_trend_events,
+        "dmdt_events": q_dmdt_events,
+        "dmdt_events_kernel": q_dmdt_events_kernel,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
@@ -557,6 +588,34 @@ g AS (
 {_INTERP_BODY_SQL}
 """
 
+_ETA_TREND_SQL = """
+WITH d AS (
+  SELECT user_id, value AS v, CAST(epoch_us(ts) AS DOUBLE) AS t,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS dd
+  FROM events
+)
+SELECT user_id,
+  round(sum(dd * dd) / ((count(v) - 1) * var_samp(v)), 6) AS eta,
+  round(regr_slope(v, t), 6) AS trend
+FROM d GROUP BY user_id
+"""
+
+_DMDT_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS t, value AS v FROM events
+),
+p AS (
+  SELECT a.user_id,
+         CAST(floor((b.t - a.t) / 2.6e11) AS BIGINT) AS dt_bin,
+         CAST(floor((b.v - a.v + 200.0) / 40.0) AS BIGINT) AS dm_bin
+  FROM s a JOIN s b ON a.user_id = b.user_id AND a.t < b.t
+)
+SELECT user_id, dt_bin, dm_bin, CAST(count(*) AS BIGINT) AS n_pairs
+FROM p
+WHERE dt_bin >= 0 AND dt_bin < 10 AND dm_bin >= 0 AND dm_bin < 10
+GROUP BY 1, 2, 3
+"""
+
 _EXACT_DEDUP_SQL = f"""
 SELECT md5({_NORM}) AS digest,
        CAST(count(*) AS BIGINT) AS n_dups,
@@ -704,6 +763,9 @@ def _raw_oracles() -> dict[str, str]:
         "locf_events_daily": _LOCF_SQL,
         "interpolate_events": _INTERPOLATE_SQL,
         "regrid_events_kernel": _REGRID_SQL,
+        "eta_trend_events": _ETA_TREND_SQL,
+        "dmdt_events": _DMDT_SQL,
+        "dmdt_events_kernel": _DMDT_SQL,
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "language_id_documents": _lang_sql(),

@@ -121,6 +121,69 @@ def feature_vector(m: np.ndarray) -> dict[str, float]:
     }
 
 
+def von_neumann_eta(m: np.ndarray) -> float:
+    """Eta (von Neumann 1941; Malanchev+21 §Eta): mean squared successive
+    difference over the variance, computed in time order:
+    eta = sum((m_{i+1} - m_i)^2) / ((N-1) * var_samp(m))."""
+    m = _check(m)
+    n = m.shape[0]
+    if n < 2:
+        return float("nan")
+    var = np.var(m, ddof=1)
+    if var == 0.0:
+        return float("nan")
+    d = np.diff(m)
+    return float(np.sum(d * d) / ((n - 1) * var))
+
+
+def linear_trend(t: np.ndarray, m: np.ndarray) -> float:
+    """OLS slope of m against t (Malanchev+21 §LinearTrend):
+    slope = cov(t, m) / var(t), the regr_slope definition."""
+    t = np.asarray(t, dtype=np.float64)
+    m = _check(m)
+    if t.shape[0] != m.shape[0]:
+        raise ValueError("t and m should have same size")
+    if t.shape[0] < 2:
+        return float("nan")
+    tm, mm = np.mean(t), np.mean(m)
+    denom = np.sum((t - tm) ** 2)
+    if denom == 0.0:
+        return float("nan")
+    return float(np.sum((t - tm) * (m - mm)) / denom)
+
+
+def dmdt_counts(
+    t: np.ndarray,
+    m: np.ndarray,
+    dt_width: float,
+    dm_width: float,
+    n_dt: int,
+    n_dm: int,
+    dm_offset: float,
+) -> np.ndarray:
+    """dm-dt map (the reference ecosystem's light-curve-dmdt capability,
+    /root/reference/README.md:17; Mahabal et al. 2017 construction): for
+    every ordered pair i<j (by time), histogram (dt, dm) into an
+    (n_dt, n_dm) grid with linear bins:
+        dt_bin = floor(dt / dt_width), dm_bin = floor((dm + dm_offset) / dm_width)
+    out-of-range pairs are dropped. Vectorized via outer differences."""
+    t = np.asarray(t, dtype=np.float64)
+    m = np.asarray(m, dtype=np.float64)
+    n = t.shape[0]
+    out = np.zeros((n_dt, n_dm), dtype=np.int64)
+    if n < 2:
+        return out
+    iu = np.triu_indices(n, k=1)
+    dt = (t[None, :] - t[:, None])[iu]
+    dm = (m[None, :] - m[:, None])[iu]
+    bi = np.floor(dt / dt_width)
+    bj = np.floor((dm + dm_offset) / dm_width)
+    ok = (bi >= 0) & (bi < n_dt) & (bj >= 0) & (bj < n_dm)
+    flat = (bi[ok].astype(np.int64) * n_dm + bj[ok].astype(np.int64))
+    counts = np.bincount(flat, minlength=n_dt * n_dm)
+    return counts.reshape(n_dt, n_dm)
+
+
 def feature_frame(
     flat: np.ndarray,
     lengths: np.ndarray,

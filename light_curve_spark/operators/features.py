@@ -82,6 +82,31 @@ def extract_features(
     return seq.mapInPandas(fn, schema=schema)
 
 
+def series_dynamics_relational(
+    series: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Order-dependent per-key features (long form, built-ins only):
+    - eta: von Neumann ratio, sum((v_{i+1}-v_i)^2)/((N-1)*var_samp(v))
+      (time-ordered lag window);
+    - trend: OLS slope of v on t (ANSI regr_slope).
+    Definitions: Malanchev+21 §Eta / §LinearTrend (kernels/features.py
+    twins: von_neumann_eta, linear_trend)."""
+    keys = keys or ["doc_id"]
+    w = Window.partitionBy(*keys).orderBy("t")
+    d = F.col("v") - F.lag("v").over(w)
+    return (
+        series.withColumn("_d", d)
+        .groupBy(*keys)
+        .agg(
+            (
+                F.sum(F.col("_d") * F.col("_d"))
+                / ((F.count("v") - 1) * F.var_samp("v"))
+            ).alias("eta"),
+            F.regr_slope("v", "t").alias("trend"),
+        )
+    )
+
+
 def extract_features_relational(series: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Long-form (key, t, v) -> per-key features, pure built-ins.
 

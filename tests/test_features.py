@@ -76,6 +76,56 @@ def test_feature_vector_empty_raises():
         feature_vector(np.array([]))
 
 
+def test_von_neumann_eta_white_noise_limit():
+    # for iid data eta -> 2 (von Neumann 1941)
+    from light_curve_spark.kernels.features import von_neumann_eta
+
+    rng = np.random.default_rng(3)
+    eta = von_neumann_eta(rng.normal(size=100_000))
+    assert abs(eta - 2.0) < 0.05
+
+
+def test_von_neumann_eta_smooth_series_small():
+    from light_curve_spark.kernels.features import von_neumann_eta
+
+    t = np.linspace(0, 1, 1000)
+    eta = von_neumann_eta(np.sin(2 * np.pi * t))  # smooth -> eta << 2
+    assert eta < 0.01
+
+
+def test_linear_trend_exact_line():
+    from light_curve_spark.kernels.features import linear_trend
+
+    t = np.array([0.0, 1.0, 2.0, 5.0])
+    assert linear_trend(t, 3.0 * t + 7.0) == pytest.approx(3.0, abs=1e-12)
+    assert linear_trend(t, np.full(4, 2.0)) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_dmdt_counts_hand_checked():
+    from light_curve_spark.kernels.features import dmdt_counts
+
+    # t=[0,1,3], v=[0,10,-5]: pairs (dt,dm) = (1,10),(3,-5),(2,-15)
+    grid = dmdt_counts(
+        np.array([0.0, 1.0, 3.0]),
+        np.array([0.0, 10.0, -5.0]),
+        dt_width=1.0, dm_width=10.0, n_dt=4, n_dm=4, dm_offset=20.0,
+    )
+    # (1,10): dt_bin=1, dm_bin=3; (3,-5): dt_bin=3, dm_bin=1;
+    # (2,-15): dt_bin=2, dm_bin=0
+    assert grid[1, 3] == 1 and grid[3, 1] == 1 and grid[2, 0] == 1
+    assert grid.sum() == 3
+
+
+def test_dmdt_counts_out_of_range_dropped():
+    from light_curve_spark.kernels.features import dmdt_counts
+
+    grid = dmdt_counts(
+        np.array([0.0, 100.0]), np.array([0.0, 0.0]),
+        dt_width=1.0, dm_width=1.0, n_dt=4, n_dm=4, dm_offset=2.0,
+    )
+    assert grid.sum() == 0  # dt=100 beyond the grid
+
+
 def test_periodogram_finds_injected_frequency():
     # pure sinusoid at f=0.05 on an irregular grid -> peak at 0.05
     rng = np.random.default_rng(2)
