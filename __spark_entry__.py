@@ -290,7 +290,10 @@ def q_exact_dedup_documents(spark, sf_dir):
 def q_ngram_jaccard_documents(spark, sf_dir):
     from light_curve_spark.operators.dedup import ngram_jaccard_pairs
 
-    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, max_df=1000)
+    # max_df=100: with the corpus's small vocabulary, grams shared by
+    # >100 docs carry no dedup signal and quadratically inflate the
+    # inverted-index self-join (same constant in the oracle SQL)
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, max_df=100)
     return out.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
 
 
@@ -634,7 +637,7 @@ g0 AS (
   FROM w
 ),
 g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
-f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 1000),
+f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
 gg AS (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram)),
 sz AS (SELECT doc_id, count(*) AS n_grams FROM gg GROUP BY 1),
 i AS (

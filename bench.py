@@ -28,6 +28,8 @@ HEADLINE = [
     "rollup_tiers_events",
     "features_events",
     "features_events_kernel",
+    "eta_trend_events",
+    "dmdt_events_kernel",
     "interpolate_events",
     "locf_events_daily",
     "cosine_topk_embeddings",
