@@ -362,6 +362,24 @@ def encode_values_batch(values_list: list[np.ndarray]) -> list[bytes]:
     if R == 0:
         return []
     arrs = [np.asarray(v, dtype=np.int64) for v in values_list]
+    # cache blocking: a full Arrow batch (~1.5M tokens) drags a ~100 MB
+    # working set through every vector op, saturating the shared LLC and
+    # killing multi-core scaling; ~128k-token groups keep the working set
+    # in-cache (same output, groups are independent)
+    CHUNK_TOKENS = 128_000
+    if sum(a.shape[0] for a in arrs) > 2 * CHUNK_TOKENS:
+        out: list[bytes] = []
+        group: list[np.ndarray] = []
+        acc = 0
+        for a in arrs:
+            group.append(a)
+            acc += a.shape[0]
+            if acc >= CHUNK_TOKENS:
+                out.extend(encode_values_batch(group))
+                group, acc = [], 0
+        if group:
+            out.extend(encode_values_batch(group))
+        return out
     lengths = np.fromiter((a.shape[0] for a in arrs), dtype=np.int64, count=R)
     headers = []
     for a, n in zip(arrs, lengths):

@@ -112,7 +112,8 @@ def encode_chunks(
         "checksum",
     ]
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
+        import pyarrow as pa
         from pyspark import TaskContext
 
         from light_curve_spark.kernels.compression import (
@@ -122,41 +123,53 @@ def encode_chunks(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        for pdf in batches:
+        for b in batches:
             t_start = time.time()
-            toks_list = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
+            nrows = b.num_rows
+            if nrows == 0:
+                continue
+            toks = b.column(b.schema.get_field_index("tokens"))
+            off = toks.offsets.to_numpy()
+            lengths = (off[1:] - off[:-1]).astype(np.int64)
+            flat = toks.flatten().to_numpy().astype(np.int64)
+            starts = np.cumsum(lengths) - lengths
+            toks_list = [
+                flat[s : s + ln] for s, ln in zip(starts, lengths)
+            ]
             vals = encode_values_batch(toks_list)  # one vectorized pass
-            rows = []
-            for doc_id, source, chunk_no, toks, vg in zip(
-                pdf["doc_id"], pdf["source"], pdf["chunk_no"], toks_list, vals
-            ):
-                n = toks.shape[0]
-                t0 = int(chunk_no) * max_len
+            chunk_nos = b.column(b.schema.get_field_index("chunk_no")).to_numpy()
+            t0s = chunk_nos.astype(np.int64) * max_len
+            ts_bufs, crcs = [], np.empty(nrows, dtype=np.int64)
+            for i in range(nrows):
+                n = int(lengths[i])
+                t0 = int(t0s[i])
                 crc = zlib.crc32(
                     (np.arange(n, dtype=np.int64) + t0).astype("<i8").tobytes()
                 )
-                crc = zlib.crc32(toks.astype("<i8").tobytes(), crc)
-                rows.append(
-                    (
-                        doc_id,
-                        source,
-                        int(chunk_no),
-                        t0 if n else 0,
-                        n,
-                        encode_timestamps_regular(n, t0),
-                        vg,
-                        crc,
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
+                crcs[i] = zlib.crc32(toks_list[i].astype("<i8").tobytes(), crc)
+                ts_bufs.append(encode_timestamps_regular(n, t0))
+            arrays = [
+                b.column(b.schema.get_field_index("doc_id")),
+                b.column(b.schema.get_field_index("source")),
+                pa.array(chunk_nos.astype(np.int32)),
+                pa.array(np.where(lengths > 0, t0s, 0)),
+                pa.array(lengths.astype(np.int32)),
+                pa.array(ts_bufs, type=pa.binary()),
+                pa.array(vals, type=pa.binary()),
+                pa.array(crcs),
+            ]
+            names = list(cols)
             if with_lineage:
                 wall = int((time.time() - t_start) * 1000)
-                out["_pid"] = pid
-                out["_wall_ms"] = wall // max(len(rows), 1)
-            yield out
+                arrays += [
+                    pa.array(np.full(nrows, pid, dtype=np.int32)),
+                    pa.array(np.full(nrows, wall // max(nrows, 1), dtype=np.int64)),
+                ]
+                names += ["_pid", "_wall_ms"]
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     schema = LINEAGE_CHUNK_SCHEMA if with_lineage else CHUNK_SCHEMA
-    return seq.select("doc_id", "source", "chunk_no", "tokens").mapInPandas(
+    return seq.select("doc_id", "source", "chunk_no", "tokens").mapInArrow(
         fn, schema=schema
     )
 

@@ -55,17 +55,26 @@ def extract_features(
     ``freqs`` (optional) adds periodogram moments on that fixed frequency
     grid. ``irregular=True`` uses the deterministic irregular time axis
     (see operators/series.py) for the periodogram phases.
+
+    Uses ``mapInArrow``, not mapInPandas: an Arrow ListArray's
+    (offsets, values) buffers ARE the (lengths, flat) representation the
+    segment-vectorized kernel consumes — the pandas route would build one
+    Python object per row just to concatenate them back.
     """
+    import pyarrow as pa
+
     schema = features_schema(with_periodogram=freqs is not None)
     freqs_arr = None if freqs is None else np.asarray(freqs, dtype=np.float64)
     names = [f.name for f in schema.fields[2:]]
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.shape[0] == 0:
+    def fn(batches):
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            lengths = pdf["n_tok"].to_numpy().astype(np.int64)
-            flat = np.concatenate(pdf["tokens"].to_list()).astype(np.float64)
+            toks = b.column(b.schema.get_field_index("tokens"))
+            off = toks.offsets.to_numpy()
+            lengths = (off[1:] - off[:-1]).astype(np.int64)
+            flat = toks.flatten().to_numpy().astype(np.float64)
             t_flat = None
             if irregular and freqs_arr is not None:
                 # t_i = exclusive cumsum of (1 + tok mod 7) within each segment
@@ -75,11 +84,13 @@ def extract_features(
                 excl = np.cumsum(deltas) - deltas
                 t_flat = excl - excl[starts][elem]
             fr = feature_frame(flat, lengths, t_flat=t_flat, freqs=freqs_arr)
-            out = {"doc_id": pdf["doc_id"], "source": pdf["source"]}
-            out.update({n: fr[n] for n in names})
-            yield pd.DataFrame(out)
+            arrays = [
+                b.column(b.schema.get_field_index("doc_id")),
+                b.column(b.schema.get_field_index("source")),
+            ] + [pa.array(fr[n], type=pa.float64()) for n in names]
+            yield pa.RecordBatch.from_arrays(arrays, ["doc_id", "source", *names])
 
-    return seq.mapInPandas(fn, schema=schema)
+    return seq.mapInArrow(fn, schema=schema)
 
 
 def series_dynamics_relational(

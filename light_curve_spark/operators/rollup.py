@@ -114,9 +114,7 @@ def rollup_tiers_arrays(
     (tested). Output: (doc_id, source, tier, bucket, n_points, v_sum,
     v_min, v_max, v_mean).
     """
-    from collections.abc import Iterator
-
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
@@ -139,22 +137,27 @@ def rollup_tiers_arrays(
             StructField("v_mean", DoubleType(), False),
         ]
     )
+    out_names = [f.name for f in schema.fields]
 
     for prev_t, t in zip(tiers, tiers[1:]):
         if t % prev_t != 0:
             raise ValueError(f"tier {t} not a multiple of {prev_t}")
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.shape[0] == 0:
+    def fn(batches):
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            lengths = pdf["n_tok"].to_numpy().astype(np.int64)
-            flat = np.concatenate(pdf["tokens"].to_list()).astype(np.float64)
+            toks = b.column(b.schema.get_field_index("tokens"))
+            off = toks.offsets.to_numpy()
+            lengths = (off[1:] - off[:-1]).astype(np.int64)
+            flat = toks.flatten().to_numpy().astype(np.float64)
+            doc_col = b.column(b.schema.get_field_index("doc_id"))
+            src_col = b.column(b.schema.get_field_index("source"))
             starts = np.cumsum(lengths) - lengths
             elem = np.repeat(np.arange(lengths.shape[0]), lengths)
             pos = np.arange(flat.shape[0], dtype=np.int64) - starts[elem]
 
-            out_frames = []
+            parts = []
             # tier 1 from raw, segment boundaries where (row, bucket) changes
             width = base_width * tiers[0]
             bucket = pos // width
@@ -167,24 +170,7 @@ def rollup_tiers_arrays(
             s_min = np.minimum.reduceat(flat, seg)
             s_max = np.maximum.reduceat(flat, seg)
 
-            def emit(tier, e, b, n, sm, mn, mx):
-                out_frames.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": pdf["doc_id"].to_numpy()[e],
-                            "source": pdf["source"].to_numpy()[e],
-                            "tier": np.int32(tier),
-                            "bucket": b,
-                            "n_points": n,
-                            "v_sum": sm,
-                            "v_min": mn,
-                            "v_max": mx,
-                            "v_mean": sm / n,
-                        }
-                    )
-                )
-
-            emit(tiers[0], s_elem, s_bucket, s_n, s_sum, s_min, s_max)
+            parts.append((tiers[0], s_elem, s_bucket, s_n, s_sum, s_min, s_max))
             for prev_t, t in zip(tiers, tiers[1:]):
                 f = t // prev_t
                 cb = s_bucket // f
@@ -196,10 +182,29 @@ def rollup_tiers_arrays(
                 s_max = np.maximum.reduceat(s_max, cseg)
                 s_elem = s_elem[cseg]
                 s_bucket = cb[cseg]
-                emit(t, s_elem, s_bucket, s_n, s_sum, s_min, s_max)
-            yield pd.concat(out_frames, ignore_index=True)
+                parts.append((t, s_elem, s_bucket, s_n, s_sum, s_min, s_max))
 
-    return seq.select("doc_id", "source", "tokens", "n_tok").mapInPandas(
+            e_all = np.concatenate([p[1] for p in parts])
+            tier_all = np.concatenate(
+                [np.full(p[1].shape[0], p[0], dtype=np.int32) for p in parts]
+            )
+            idx = pa.array(e_all)
+            arrays = [
+                doc_col.take(idx),
+                src_col.take(idx),
+                pa.array(tier_all),
+                pa.array(np.concatenate([p[2] for p in parts])),
+                pa.array(np.concatenate([p[3] for p in parts])),
+                pa.array(np.concatenate([p[4] for p in parts])),
+                pa.array(np.concatenate([p[5] for p in parts])),
+                pa.array(np.concatenate([p[6] for p in parts])),
+                pa.array(
+                    np.concatenate([p[4] / p[3] for p in parts])
+                ),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, out_names)
+
+    return seq.select("doc_id", "source", "tokens", "n_tok").mapInArrow(
         fn, schema=schema
     )
 

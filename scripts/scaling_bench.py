@@ -52,14 +52,18 @@ spark.sparkContext.setLogLevel("ERROR")
 def run(df):
     df.write.mode("overwrite").format("noop").save()
 
-# 8 partitions per core: workers amortize one-time arena warm-up over
-# several Arrow batches, as they do in any long-running job
-seq = salted_repartition(synthetic_sequences(spark, n_rows, seed=42), 8 * cpus).persist()
+# FIXED partition count across legs (a cluster resize does not change
+# the dataset's partitioning): identical task granularity and Arrow
+# batch sizes at both parallelism levels — only concurrency differs.
+seq = salted_repartition(synthetic_sequences(spark, n_rows, seed=42), 64).persist()
 n_tokens = int(seq.select(F.sum("n_tok")).head()[0])
 
-def timed(make_df, action="noop"):
-    # warm pass + timed steady-state pass
-    for phase in ("warm", "timed"):
+def timed(make_df, action="noop", reps=3):
+    # warm pass, then min over `reps` steady-state passes: this host has
+    # heavy intermittent CPU steal (0.7x between identical runs); the
+    # minimum is the least-contended, most reproducible estimate
+    best = None
+    for phase in range(reps + 1):
         df = make_df()
         t0 = time.time()
         if action == "noop":
@@ -69,7 +73,9 @@ def timed(make_df, action="noop"):
         else:
             result = df.select(action).head()[0]
         dt = time.time() - t0
-    return dt, result
+        if phase > 0:
+            best = dt if best is None else min(best, dt)
+    return best, result
 
 freqs = np.linspace(0.05, 0.45, 9)
 t_feat, _ = timed(lambda: extract_features(seq, freqs=freqs))
