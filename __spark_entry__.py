@@ -251,6 +251,27 @@ def q_regrid_events_kernel(spark, sf_dir):
     )
 
 
+def q_asof_join_events(spark, sf_dir):
+    """For every 'error' event: value/time of the latest prior (or
+    simultaneous) 'signup' event of the same user — backward as-of join.
+    Oracle: DuckDB's NATIVE ASOF JOIN."""
+    from light_curve_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("value").alias("v"),
+        "event_type",
+    )
+    errors = base.filter(F.col("event_type") == "error").select("user_id", "t", "v")
+    signups = base.filter(F.col("event_type") == "signup").select("user_id", "t", "v")
+    out = asof_join(errors, signups, keys=["user_id"], value_cols=["v"])
+    return out.select(
+        "user_id", "t", "v", F.col("asof_v").alias("signup_v"), F.col("asof_t").alias("signup_t")
+    )
+
+
 def q_eta_trend_events(spark, sf_dir):
     from light_curve_spark.operators.features import series_dynamics_relational
 
@@ -429,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_events_daily": q_locf_events_daily,
         "interpolate_events": q_interpolate_events,
         "regrid_events_kernel": q_regrid_events_kernel,
+        "asof_join_events": q_asof_join_events,
         "eta_trend_events": q_eta_trend_events,
         "dmdt_events": q_dmdt_events,
         "dmdt_events_kernel": q_dmdt_events_kernel,
@@ -589,6 +611,21 @@ g AS (
   FROM b, unnest(range(0, 33)) AS u(i)
 ),
 {_INTERP_BODY_SQL}
+"""
+
+_ASOF_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, value AS v
+  FROM events WHERE event_type = 'error'
+),
+s AS (
+  SELECT user_id, epoch_us(ts) AS t, value AS v
+  FROM events WHERE event_type = 'signup'
+)
+SELECT e.user_id, CAST(e.t AS BIGINT) AS t, e.v AS v,
+       s.v AS signup_v, CAST(s.t AS BIGINT) AS signup_t
+FROM e ASOF LEFT JOIN s
+  ON e.user_id = s.user_id AND e.t >= s.t
 """
 
 _ETA_TREND_SQL = """
@@ -766,6 +803,7 @@ def _raw_oracles() -> dict[str, str]:
         "locf_events_daily": _LOCF_SQL,
         "interpolate_events": _INTERPOLATE_SQL,
         "regrid_events_kernel": _REGRID_SQL,
+        "asof_join_events": _ASOF_SQL,
         "eta_trend_events": _ETA_TREND_SQL,
         "dmdt_events": _DMDT_SQL,
         "dmdt_events_kernel": _DMDT_SQL,

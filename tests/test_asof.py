@@ -1,0 +1,46 @@
+"""As-of join: hand-checked semantics incl. the inclusive-tie rule and
+the no-prior-row null case; plan must be window-based (no nested-loop
+range join)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from light_curve_spark.operators.asof import asof_join
+
+
+def test_asof_join_hand_checked(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a", "a", "b"], "t": [5.0, 10.0, 20.0, 7.0], "lv": [1, 2, 3, 4]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a", "a", "b"], "t": [4.0, 10.0, 15.0, 9.0], "rv": [100.0, 200.0, 300.0, 400.0]}
+        )
+    )
+    out = {
+        (r.k, r.t): (r.asof_rv, r.asof_t)
+        for r in asof_join(left, right, keys=["k"], value_cols=["rv"]).collect()
+    }
+    assert out[("a", 5.0)] == (100.0, 4.0)     # strictly before
+    assert out[("a", 10.0)] == (200.0, 10.0)   # tie -> inclusive
+    assert out[("a", 20.0)] == (300.0, 15.0)   # latest of several
+    assert out[("b", 7.0)] == (None, None)     # no prior right row
+
+
+def test_asof_join_plan_has_no_nested_loop(spark):
+    left = spark.range(10).select(
+        F.lit("k").alias("k"), F.col("id").cast("double").alias("t"), F.col("id").alias("lv")
+    )
+    right = spark.range(10).select(
+        F.lit("k").alias("k"), F.col("id").cast("double").alias("t"), F.col("id").alias("rv")
+    )
+    plan = (
+        asof_join(left, right, keys=["k"], value_cols=["rv"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
