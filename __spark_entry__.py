@@ -384,6 +384,20 @@ def q_lsh_ann_embeddings(spark, sf_dir):
     return out.select("vec_id", _r6("cosine").alias("cosine"))
 
 
+def q_embedding_pairs_exact(spark, sf_dir):
+    from light_curve_spark.operators.similarity import embedding_cosine_pairs
+
+    out = embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return out.select("id_a", "id_b", _r6("cosine").alias("cosine"))
+
+
+def q_embedding_pairs_lsh(spark, sf_dir):
+    from light_curve_spark.operators.similarity import embedding_cosine_pairs_lsh
+
+    out = embedding_cosine_pairs_lsh(_emb(spark, sf_dir), threshold=0.4, n_planes=4)
+    return out.select("id_a", "id_b", _r6("cosine").alias("cosine"))
+
+
 def q_chunk_roundtrip_sequences(spark, sf_dir):
     """Per-row invariant on synthetic sequences: decode(encode(tokens))
     == tokens exactly, through the persisted-shape chunk structs."""
@@ -465,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "cosine_topk_embeddings_kernel": q_cosine_topk_embeddings_kernel,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
+        "embedding_pairs_lsh": q_embedding_pairs_lsh,
         "chunk_roundtrip_sequences": q_chunk_roundtrip_sequences,
         "periodogram_sequences": q_periodogram_sequences,
         "media_features": q_media_features,
@@ -769,6 +785,24 @@ SELECT vec_id, round(dot / (na * nb), 6) AS cosine
 FROM d ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
 """
 
+_EMB_PAIRS_SQL = """
+WITH n AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    sqrt(list_sum(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_sum(list_transform(list_zip(a.v, b.v),
+                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (a.nv * b.nv), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (a.nv * b.nv) >= 0.4
+"""
+
 _AMPLITUDE_LINEITEM_SQL = """
 SELECT l_returnflag,
        round((max(l_extendedprice) - min(l_extendedprice)) / 2.0, 6) AS amplitude,
@@ -812,6 +846,7 @@ def _raw_oracles() -> dict[str, str]:
         "language_id_documents": _lang_sql(),
         "quality_score_documents": _quality_sql(),
         "token_count_documents": _TOKEN_COUNT_SQL,
+        "embedding_pairs_exact": _EMB_PAIRS_SQL,
         "cosine_topk_embeddings": _COSINE_SQL,
         "cosine_topk_embeddings_kernel": _COSINE_SQL,
         # no oracle (rows-only checks): minhash_lsh_documents,

@@ -199,3 +199,35 @@ def test_incremental_rollup_fold(spark, tmp_path):
         assert m[k][0] == d[k][0] and m[k][2] == d[k][2] and m[k][3] == d[k][3]
         assert m[k][1] == pytest.approx(d[k][1], rel=1e-12)
     seq.unpersist()
+
+
+def test_embedding_pairs_lsh_subset_of_exact(spark):
+    import numpy as np
+    import pandas as pd
+    from light_curve_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(6)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    # plant near-duplicates: rows 20..29 are noisy copies of rows 0..9
+    dups = base[:10] + rng.normal(scale=0.05, size=(10, 16)).astype(np.float32)
+    vecs = np.vstack([base, dups])
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(30), "embedding": [v.tolist() for v in vecs]})
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_cosine_pairs(emb, threshold=0.95).collect()
+    }
+    # all 10 planted near-dup pairs found exactly
+    assert all((i, i + 20) in exact for i in range(10))
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_cosine_pairs_lsh(emb, threshold=0.95, n_planes=4).collect()
+    }
+    assert set(approx) <= set(exact)  # LSH never invents pairs
+    assert len(approx) >= 5  # near-identical vectors mostly share buckets
+    for k, v in approx.items():
+        assert v == exact[k]
