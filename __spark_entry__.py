@@ -37,9 +37,18 @@ def _r6(c):
     return F.round(c + F.lit(1e-9), 6)
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin the session timezone: events.ts is TIMESTAMP_NTZ and
+    ``cast(ntz AS timestamp)`` interprets wall time in the SESSION zone —
+    the driver's session may not be UTC, while the DuckDB oracle's
+    epoch_us(ntz) always treats it as UTC. Runtime-settable config."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a long-form series: (user_id, t = epoch micros double,
     v = value). Microsecond-integer t is exact in f64 (< 2^53)."""
+    _utc(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return ev.select(
         "user_id",
@@ -169,6 +178,7 @@ def q_merge_rollups_events(spark, sf_dir):
     from light_curve_spark.operators.rollup import rollup_tiers
     from light_curve_spark.streaming.incremental import merge_rollups
 
+    _utc(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     mk = lambda df: rollup_tiers(  # noqa: E731
         df.select(
@@ -188,6 +198,7 @@ def q_merge_rollups_events(spark, sf_dir):
 def q_locf_events_daily(spark, sf_dir):
     from pyspark.sql import Window
 
+    _utc(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     daily = (
         ev.withColumn("day", F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US)))
@@ -257,6 +268,7 @@ def q_asof_join_events(spark, sf_dir):
     Oracle: DuckDB's NATIVE ASOF JOIN."""
     from light_curve_spark.operators.asof import asof_join
 
+    _utc(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     base = ev.select(
         "user_id",
