@@ -262,6 +262,21 @@ def q_regrid_events_kernel(spark, sf_dir):
     )
 
 
+def q_rolling_mean_events(spark, sf_dir):
+    """4-row trailing rolling mean per user in time order (window frame
+    rowsBetween(-3, 0) — SURVEY §2.6 frame-spec coverage)."""
+    from pyspark.sql import Window
+
+    s = _events_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t").rowsBetween(-3, 0)
+    return s.select(
+        "user_id",
+        F.col("t").cast("long").alias("t"),
+        _r6(F.avg("v").over(w)).alias("rolling_mean"),
+        F.count("v").over(w).alias("window_n"),
+    )
+
+
 def q_asof_join_events(spark, sf_dir):
     """For every 'error' event: value/time of the latest prior (or
     simultaneous) 'signup' event of the same user — backward as-of join.
@@ -476,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_events_daily": q_locf_events_daily,
         "interpolate_events": q_interpolate_events,
         "regrid_events_kernel": q_regrid_events_kernel,
+        "rolling_mean_events": q_rolling_mean_events,
         "asof_join_events": q_asof_join_events,
         "eta_trend_events": q_eta_trend_events,
         "dmdt_events": q_dmdt_events,
@@ -639,6 +655,16 @@ g AS (
   FROM b, unnest(range(0, 33)) AS u(i)
 ),
 {_INTERP_BODY_SQL}
+"""
+
+_ROLLING_SQL = """
+SELECT user_id,
+  CAST(epoch_us(ts) AS BIGINT) AS t,
+  round(avg(value) OVER w, 6) AS rolling_mean,
+  CAST(count(value) OVER w AS BIGINT) AS window_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
 
 _ASOF_SQL = """
@@ -849,6 +875,7 @@ def _raw_oracles() -> dict[str, str]:
         "locf_events_daily": _LOCF_SQL,
         "interpolate_events": _INTERPOLATE_SQL,
         "regrid_events_kernel": _REGRID_SQL,
+        "rolling_mean_events": _ROLLING_SQL,
         "asof_join_events": _ASOF_SQL,
         "eta_trend_events": _ETA_TREND_SQL,
         "dmdt_events": _DMDT_SQL,

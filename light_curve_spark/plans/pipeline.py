@@ -130,6 +130,7 @@ def run_pipeline(
                         F.sum(F.length("ts_dod")) + F.sum(F.length("vals_gorilla"))
                     ).alias("bytes"),
                     F.sum("_wall_ms").alias("wall_ms"),
+                    F.approx_count_distinct("doc_id").alias("approx_docs"),
                 )
                 .withColumn("input_snapshot", F.lit(cfg.input_snapshot))
                 .withColumn("group", F.lit(group))

@@ -279,3 +279,21 @@ def test_encode_chunks_lineage_columns(spark, seq100):
     chunks = encode_chunks(seq100.limit(10), with_lineage=True)
     rows = chunks.collect()
     assert all(r._pid >= 0 for r in rows)
+
+
+def test_validate_series_rejects_nan_and_null(spark):
+    import math
+
+    from light_curve_spark.operators.validate import validate_series
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 5,
+            "t": [1.0, float("nan"), 3.0, None, 5.0],
+            "v": [1.0, 2.0, float("nan"), 4.0, 5.0],
+        }
+    )
+    clean, rejects = validate_series(spark.createDataFrame(pdf))
+    assert clean.count() == 2  # rows 0 and 4
+    rj = {r.reason: r.n_rejected for r in rejects.collect()}
+    assert rj == {"bad_time": 2, "bad_value": 1}
