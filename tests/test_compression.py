@@ -170,3 +170,61 @@ def test_chunk_compresses_regular_token_stream():
     raw = 16 * n
     packed = len(chunk["ts_dod"]) + len(chunk["vals_gorilla"])
     assert packed < raw / 3
+
+
+# --- columnar codec -----------------------------------------------------------
+
+def _col_roundtrip(v):
+    from light_curve_spark.kernels.compression import (
+        decode_values_columnar,
+        encode_values_columnar,
+    )
+
+    v = np.asarray(v, dtype=np.int64)
+    out = decode_values_columnar(encode_values_columnar(v)).view(np.int64)
+    assert out.tolist() == v.tolist()
+
+
+def test_columnar_roundtrip_cases():
+    _col_roundtrip([])
+    _col_roundtrip([7])
+    _col_roundtrip(np.full(300, 42))              # all-zero xors
+    _col_roundtrip(np.arange(1000))
+    _col_roundtrip([0, -1, (1 << 62) | 1, 0])     # 64-bit meaningful
+    _col_roundtrip([0, 2**31 - 1, -(2**31), 1, -1])
+
+
+def test_columnar_roundtrip_random_property():
+    rng = np.random.default_rng(13)
+    for _ in range(30):
+        n = int(rng.integers(1, 900))
+        _col_roundtrip(rng.integers(-(2**62), 2**62, size=n))
+
+
+def test_columnar_batch_byte_identical_to_single():
+    from light_curve_spark.kernels.compression import (
+        encode_values_batch_columnar,
+        encode_values_columnar,
+    )
+
+    rng = np.random.default_rng(14)
+    series = [
+        rng.integers(0, 50257, size=int(n)).astype(np.int64)
+        for n in [1, 2, 3, 17, 128, 1000]
+    ] + [np.full(64, 9, dtype=np.int64), np.array([5], dtype=np.int64),
+         np.array([], dtype=np.int64), np.arange(5, dtype=np.int64)]
+    batch = encode_values_batch_columnar(series)
+    for s, b in zip(series, batch):
+        assert b == encode_values_columnar(s)
+
+
+def test_columnar_size_close_to_interleaved():
+    from light_curve_spark.kernels.compression import (
+        encode_values,
+        encode_values_columnar,
+    )
+
+    rng = np.random.default_rng(15)
+    v = rng.integers(0, 50257, size=4096).astype(np.int64)
+    a, b = len(encode_values(v)), len(encode_values_columnar(v))
+    assert b < a * 1.05  # same information, ~same size
