@@ -297,3 +297,30 @@ def test_validate_series_rejects_nan_and_null(spark):
     assert clean.count() == 2  # rows 0 and 4
     rj = {r.reason: r.n_rejected for r in rejects.collect()}
     assert rj == {"bad_time": 2, "bad_value": 1}
+
+
+def test_extract_features_irregular_time_periodogram(spark, seq100):
+    """irregular=True must use t_i = exclusive cumsum of (1 + tok%7) for
+    the periodogram phases — verified against the scalar kernel."""
+    from light_curve_spark.kernels.features import periodogram_moments
+
+    freqs = linspace(0.01, 0.05, 5)
+    rows = {
+        r.doc_id: r
+        for r in extract_features(seq100, freqs=freqs, irregular=True).collect()
+    }
+    raw = {r.doc_id: np.asarray(r.tokens, dtype=np.float64) for r in seq100.collect()}
+    checked = 0
+    for doc_id in list(raw)[:10]:
+        m = raw[doc_id]
+        if m.shape[0] < 4:
+            continue
+        deltas = 1.0 + np.mod(m, 7.0)
+        t = np.cumsum(deltas) - deltas
+        mom = periodogram_moments(t, m, freqs)
+        got = rows[doc_id]
+        if not np.isnan(mom["pg_mean"]):
+            assert got.pg_mean == pytest.approx(mom["pg_mean"], rel=1e-9)
+            assert got.pg_peak_freq == pytest.approx(mom["pg_peak_freq"], rel=1e-12)
+            checked += 1
+    assert checked >= 5
