@@ -262,6 +262,25 @@ def q_regrid_events_kernel(spark, sf_dir):
     )
 
 
+def q_retention_events(spark, sf_dir):
+    """Tiered retention over the events rollup: tier 1 keeps 7 days,
+    tier 10 keeps 15 days, tier 100 keeps everything — relative to the
+    max event time (the watermark)."""
+    from light_curve_spark.operators.rollup import rollup_tiers
+    from light_curve_spark.operators.retention import apply_retention
+
+    s = _events_series(spark, sf_dir)
+    wm = s.agg(F.max("t")).head()[0]
+    rolled = rollup_tiers(s, keys=["user_id"], base_width=DAY_US, tiers=(1, 10, 100))
+    kept = apply_retention(
+        rolled,
+        watermark=wm,
+        horizons={1: 7 * DAY_US, 10: 15 * DAY_US},
+        base_width=DAY_US,
+    )
+    return _round_rollup(kept)
+
+
 def q_rolling_mean_events(spark, sf_dir):
     """4-row trailing rolling mean per user in time order (window frame
     rowsBetween(-3, 0) — SURVEY §2.6 frame-spec coverage)."""
@@ -491,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_events_daily": q_locf_events_daily,
         "interpolate_events": q_interpolate_events,
         "regrid_events_kernel": q_regrid_events_kernel,
+        "retention_events": q_retention_events,
         "rolling_mean_events": q_rolling_mean_events,
         "asof_join_events": q_asof_join_events,
         "eta_trend_events": q_eta_trend_events,
@@ -655,6 +675,15 @@ g AS (
   FROM b, unnest(range(0, 33)) AS u(i)
 ),
 {_INTERP_BODY_SQL}
+"""
+
+_RETENTION_SQL = f"""
+WITH r AS ({_ROLLUP_TIERS_SQL}),
+wm AS (SELECT CAST(max(epoch_us(ts)) AS DOUBLE) AS w FROM events)
+SELECT r.* FROM r, wm
+WHERE (tier = 1   AND (bucket + 1) * 86400000000.0  > w - 7.0  * 86400000000.0)
+   OR (tier = 10  AND (bucket + 1) * 864000000000.0 > w - 15.0 * 86400000000.0)
+   OR tier = 100
 """
 
 _ROLLING_SQL = """
@@ -875,6 +904,7 @@ def _raw_oracles() -> dict[str, str]:
         "locf_events_daily": _LOCF_SQL,
         "interpolate_events": _INTERPOLATE_SQL,
         "regrid_events_kernel": _REGRID_SQL,
+        "retention_events": _RETENTION_SQL,
         "rolling_mean_events": _ROLLING_SQL,
         "asof_join_events": _ASOF_SQL,
         "eta_trend_events": _ETA_TREND_SQL,

@@ -324,3 +324,27 @@ def test_extract_features_irregular_time_periodogram(spark, seq100):
             assert got.pg_peak_freq == pytest.approx(mom["pg_peak_freq"], rel=1e-12)
             checked += 1
     assert checked >= 5
+
+
+def test_retention_tiered_horizons(spark, seq100):
+    from light_curve_spark.operators.retention import apply_retention, expired
+    from light_curve_spark.operators.rollup import rollup_tiers_arrays
+
+    rolled = rollup_tiers_arrays(seq100, base_width=16, tiers=(1, 10, 100)).persist()
+    wm = 1000.0
+    kept = apply_retention(
+        rolled, watermark=wm, horizons={1: 160.0, 10: 800.0}, base_width=16.0
+    )
+    gone = expired(rolled, watermark=wm, horizons={1: 160.0, 10: 800.0}, base_width=16.0)
+    assert kept.count() + gone.count() == rolled.count()
+    # tier-100 is horizon-free -> fully retained
+    t100 = rolled.filter(F.col("tier") == 100).count()
+    assert kept.filter(F.col("tier") == 100).count() == t100
+    # every kept tier-1 bucket ends within 160 of the watermark
+    bad = kept.filter(
+        (F.col("tier") == 1) & (((F.col("bucket") + 1) * 16.0) <= wm - 160.0)
+    )
+    assert bad.count() == 0
+    # something was actually expired at tier 1 (long sequences exist)
+    assert gone.filter(F.col("tier") == 1).count() > 0
+    rolled.unpersist()
