@@ -48,6 +48,18 @@ def _run(df) -> int:
     return 0
 
 
+def _timed_min(fn, reps: int = 2) -> float:
+    """min over reps — this host has intermittent CPU steal (2-3x between
+    identical runs); the minimum is the reproducible estimate."""
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -80,24 +92,35 @@ def main() -> None:
     ).persist()
     n_tokens = seq.select(F.sum("n_tok")).head()[0]
 
-    t0 = time.time()
-    _run(extract_features(seq, freqs=np.linspace(0.05, 0.45, 9)))
-    timings["seq_features_kernel"] = round(time.time() - t0, 3)
+    timings["seq_features_kernel"] = _timed_min(
+        lambda: _run(extract_features(seq, freqs=np.linspace(0.05, 0.45, 9)))
+    )
 
-    rolled = rollup_tiers_arrays(seq, base_width=16, tiers=(1, 10, 100)).persist()
-    t0 = time.time()
-    n_rolled = rolled.count()
-    timings["seq_rollup_cascade"] = round(time.time() - t0, 3)
+    n_rolled = rollup_tiers_arrays(seq, base_width=16, tiers=(1, 10, 100)).count()
+    timings["seq_rollup_cascade"] = _timed_min(
+        lambda: rollup_tiers_arrays(seq, base_width=16, tiers=(1, 10, 100)).count()
+    )
     rollup_points_per_sec = n_rolled / timings["seq_rollup_cascade"]
-    rolled.unpersist()
 
-    chunks = encode_chunks(seq, max_len=4096)
-    t0 = time.time()
-    enc_bytes = chunks.select(
-        (F.sum(F.length("ts_dod")) + F.sum(F.length("vals_gorilla"))).alias("b")
-    ).head()[0]
-    timings["seq_gorilla_encode"] = round(time.time() - t0, 3)
+    def _encode_bytes():
+        return encode_chunks(seq, max_len=4096).select(
+            (F.sum(F.length("ts_dod")) + F.sum(F.length("vals_gorilla"))).alias("b")
+        ).head()[0]
+
+    enc_bytes = _encode_bytes()
+    timings["seq_gorilla_encode"] = _timed_min(_encode_bytes)
     token_bytes_per_sec = (n_tokens * 4) / timings["seq_gorilla_encode"]
+
+    # read path: decode the persisted-shape chunk table back to tokens
+    from light_curve_spark.operators.compress import decode_chunks
+
+    chunks_df = encode_chunks(seq, max_len=4096).persist()
+    chunks_df.count()
+    timings["seq_gorilla_decode"] = _timed_min(
+        lambda: decode_chunks(chunks_df).select(F.sum(F.size("tokens"))).head()
+    )
+    decode_tokens_per_sec = n_tokens / timings["seq_gorilla_decode"]
+    chunks_df.unpersist()
     seq.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -114,6 +137,7 @@ def main() -> None:
                 "n_tokens": int(n_tokens),
                 "rollup_points_per_sec": round(rollup_points_per_sec),
                 "token_bytes_per_sec_encode": round(token_bytes_per_sec),
+                "decode_tokens_per_sec": round(decode_tokens_per_sec),
                 "rolled_points": int(n_rolled),
             }
         )
