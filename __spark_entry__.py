@@ -262,6 +262,54 @@ def q_regrid_events_kernel(spark, sf_dir):
     )
 
 
+_PG_FREQS = (0.5, 1.0, 2.0, 3.0)  # cycles per day
+
+
+def q_periodogram_events(spark, sf_dir):
+    """Relational trig-sum periodogram (the same math as the kernel's
+    "Lomb-Scargle-free" spectrum, SURVEY §2.5) — per user, normalized
+    amplitude sqrt(P(f))/N at fixed frequencies. Time is re-based to
+    days-from-user-start so the trig arguments stay small (cross-libm
+    cos/sin parity degrades for huge arguments)."""
+    from pyspark.sql import Window
+    import math
+
+    s = _events_series(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    s = s.withColumn("mu", F.mean("v").over(w)).withColumn(
+        "td", (F.col("t") - F.min("t").over(w)) / F.lit(DAY_US)
+    )
+    md = F.col("v") - F.col("mu")
+    agg = s.groupBy("user_id").agg(
+        F.count("v").alias("n"),
+        *[
+            F.sum(md * F.cos(F.lit(2.0 * math.pi * f) * F.col("td"))).alias(f"c{i}")
+            for i, f in enumerate(_PG_FREQS)
+        ],
+        *[
+            F.sum(md * F.sin(F.lit(2.0 * math.pi * f) * F.col("td"))).alias(f"s{i}")
+            for i, f in enumerate(_PG_FREQS)
+        ],
+    )
+    parts = [
+        agg.select(
+            "user_id",
+            F.lit(float(f)).alias("freq"),
+            _r6(
+                F.sqrt(
+                    F.col(f"c{i}") * F.col(f"c{i}") + F.col(f"s{i}") * F.col(f"s{i}")
+                )
+                / F.col("n")
+            ).alias("amp_norm"),
+        )
+        for i, f in enumerate(_PG_FREQS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_retention_events(spark, sf_dir):
     """Tiered retention over the events rollup: tier 1 keeps 7 days,
     tier 10 keeps 15 days, tier 100 keeps everything — relative to the
@@ -510,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_events_daily": q_locf_events_daily,
         "interpolate_events": q_interpolate_events,
         "regrid_events_kernel": q_regrid_events_kernel,
+        "periodogram_events": q_periodogram_events,
         "retention_events": q_retention_events,
         "rolling_mean_events": q_rolling_mean_events,
         "asof_join_events": q_asof_join_events,
@@ -676,6 +725,30 @@ g AS (
 ),
 {_INTERP_BODY_SQL}
 """
+
+def _periodogram_sql() -> str:
+    import math
+
+    base = """
+WITH s AS (
+  SELECT user_id, value AS v,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+           / 86400000000.0 AS td
+  FROM events
+)
+"""
+    parts = []
+    for f in (0.5, 1.0, 2.0, 3.0):
+        w = 2.0 * math.pi * f
+        parts.append(
+            f"""SELECT user_id, {float(f)!r} AS freq,
+  round(sqrt(pow(sum((v - mu) * cos({w!r} * td)), 2)
+           + pow(sum((v - mu) * sin({w!r} * td)), 2)) / count(v), 6) AS amp_norm
+FROM s GROUP BY user_id"""
+        )
+    return base + " UNION ALL ".join(parts)
+
 
 _RETENTION_SQL = f"""
 WITH r AS ({_ROLLUP_TIERS_SQL}),
@@ -904,6 +977,7 @@ def _raw_oracles() -> dict[str, str]:
         "locf_events_daily": _LOCF_SQL,
         "interpolate_events": _INTERPOLATE_SQL,
         "regrid_events_kernel": _REGRID_SQL,
+        "periodogram_events": _periodogram_sql(),
         "retention_events": _RETENTION_SQL,
         "rolling_mean_events": _ROLLING_SQL,
         "asof_join_events": _ASOF_SQL,
