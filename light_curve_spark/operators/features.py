@@ -2,7 +2,7 @@
 
 Two implementations with identical semantics (SURVEY.md §7 phase 3):
 
-- :func:`extract_features` — the production path. ``mapInPandas`` over
+- :func:`extract_features` — the production path. ``mapInArrow`` over
   the ARRAY-form sequences table: each sequence is already one row, so
   feature extraction is a shuffle-free map; inside each Arrow batch the
   segment-vectorized kernel (:func:`...kernels.features.feature_frame`)
@@ -19,8 +19,6 @@ Feature math: Malanchev et al. 2021 (the reference's citation,
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd

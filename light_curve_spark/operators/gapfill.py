@@ -24,8 +24,6 @@ gap-fill"):
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -33,7 +31,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
-    StringType,
     StructField,
     StructType,
 )
