@@ -172,6 +172,19 @@ def q_rollup_quantiles_events(spark, sf_dir):
     )
 
 
+def q_rollup_percentiles_events(spark, sf_dir):
+    """Exact interpolated quartiles per daily bucket (ANSI percentile /
+    quantile_cont semantics — both engines use linear interpolation)."""
+    s = _events_series(spark, sf_dir).withColumn(
+        "bucket", F.floor(F.col("t") / F.lit(DAY_US))
+    )
+    return s.groupBy("user_id", "bucket").agg(
+        _r6(F.percentile("v", F.lit(0.25))).alias("p25"),
+        _r6(F.percentile("v", F.lit(0.5))).alias("p50"),
+        _r6(F.percentile("v", F.lit(0.75))).alias("p75"),
+    )
+
+
 def q_merge_rollups_events(spark, sf_dir):
     """Incremental continuous-aggregate fold: rollup two halves of events
     independently, merge — must equal the direct rollup (same oracle)."""
@@ -554,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_events_kernel": q_features_events_kernel,
         "rollup_tiers_events": q_rollup_tiers_events,
         "rollup_quantiles_events": q_rollup_quantiles_events,
+        "rollup_percentiles_events": q_rollup_percentiles_events,
         "merge_rollups_events": q_merge_rollups_events,
         "locf_events_daily": q_locf_events_daily,
         "interpolate_events": q_interpolate_events,
@@ -652,6 +666,15 @@ _ROLLUP_QUANTILES_SQL = " UNION ALL ".join(
     _ROLLUP_Q_TIER_SQL.format(tier=t, width=f"{86400000000.0 * t!r}")
     for t in (1, 10, 100)
 )
+
+_ROLLUP_PCT_SQL = """
+SELECT user_id,
+       CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS bucket,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY 1, 2
+"""
 
 _LOCF_SQL = """
 WITH d AS (
@@ -973,6 +996,7 @@ def _raw_oracles() -> dict[str, str]:
         "features_events_kernel": _FEATURES_EVENTS_SQL,
         "rollup_tiers_events": _ROLLUP_TIERS_SQL,
         "rollup_quantiles_events": _ROLLUP_QUANTILES_SQL,
+        "rollup_percentiles_events": _ROLLUP_PCT_SQL,
         "merge_rollups_events": _ROLLUP_TIERS_SQL,
         "locf_events_daily": _LOCF_SQL,
         "interpolate_events": _INTERPOLATE_SQL,

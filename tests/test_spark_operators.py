@@ -348,3 +348,23 @@ def test_retention_tiered_horizons(spark, seq100):
     # something was actually expired at tier 1 (long sequences exist)
     assert gone.filter(F.col("tier") == 1).count() > 0
     rolled.unpersist()
+
+
+def test_lttb_downsample_properties(spark):
+    from light_curve_spark.operators.downsample import downsample_lttb, lttb
+
+    # kernel: keeps endpoints, picks extreme points, output sorted
+    t = np.arange(100, dtype=np.float64)
+    v = np.zeros(100); v[37] = 100.0; v[71] = -50.0  # two spikes
+    td, vd = lttb(t, v, 10)
+    assert td[0] == 0.0 and td[-1] == 99.0 and len(td) == 10
+    assert 100.0 in vd and -50.0 in vd  # spikes survive downsampling
+    assert (np.diff(td) > 0).all()
+    # short series pass through unchanged
+    td2, vd2 = lttb(t[:5], v[:5], 10)
+    assert len(td2) == 5
+
+    # operator: per-key shape
+    pdf = pd.DataFrame({"doc_id": ["a"] * 100, "t": t, "v": v})
+    out = downsample_lttb(spark.createDataFrame(pdf), n_out=10).head()
+    assert len(out.t_ds) == 10 and 100.0 in out.v_ds
