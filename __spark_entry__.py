@@ -101,22 +101,12 @@ def q_features_events(spark, sf_dir):
 
 
 def q_features_events_kernel(spark, sf_dir):
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    """Kernel-path twin of features_events: collect_list + mapInArrow +
+    the segment-vectorized feature_frame (one Arrow crossing per batch)."""
+    from light_curve_spark.kernels.features import FEATURE_NAMES
+    from light_curve_spark.operators.features import extract_features_grouped
 
-    from light_curve_spark.kernels.features import FEATURE_NAMES, feature_vector
-
-    schema = StructType(
-        [StructField("user_id", LongType(), False)]
-        + [StructField(n, DoubleType(), True) for n in FEATURE_NAMES]
-    )
-
-    def fn(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        fv = feature_vector(pdf["v"].to_numpy(dtype=np.float64))
-        return pd.DataFrame([{"user_id": key[0], **fv}])
-
-    out = _events_series(spark, sf_dir).groupBy("user_id").applyInPandas(fn, schema)
+    out = extract_features_grouped(_events_series(spark, sf_dir), keys=["user_id"])
     keep_exact = {"min", "max", "count"}
     return out.select(
         "user_id",
