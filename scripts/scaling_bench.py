@@ -145,7 +145,9 @@ def main() -> None:
                 rs.append(json.load(f))
         _write_report(rs)
         return
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+    # default matches the recorded BENCH.md protocol (stages must be long
+    # enough to amortize fixed job overheads at the 4N level)
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
     rs = []
     for cpus in (2, 8):
         t0 = time.time()
