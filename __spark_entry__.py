@@ -691,6 +691,10 @@ u AS (
   SELECT user_id, t, CAST(NULL AS DOUBLE), 1 FROM g
 ),
 w AS (
+  -- grid rows sort BEFORE knots at equal t (is_grid DESC) so an exact
+  -- hit resolves via next_v to the FIRST duplicate knot; ties among
+  -- duplicate knots ordered by v — same semantics as
+  -- operators/gapfill.interpolate_relational (reference-exact)
   SELECT user_id, t, is_grid,
     last_value(v IGNORE NULLS) OVER wp AS prev_v,
     last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS prev_t,
@@ -698,14 +702,14 @@ w AS (
     first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS next_t
   FROM u
   WINDOW
-    wp AS (PARTITION BY user_id ORDER BY t, is_grid
+    wp AS (PARTITION BY user_id ORDER BY t, is_grid DESC, v
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-    wn AS (PARTITION BY user_id ORDER BY t, is_grid
+    wn AS (PARTITION BY user_id ORDER BY t, is_grid DESC, v
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, t,
   round(CASE
-    WHEN prev_t = t THEN prev_v
+    WHEN next_t = t THEN next_v
     WHEN prev_t IS NULL THEN -1.0
     WHEN next_t IS NULL THEN -1.0
     ELSE ((next_t - t) / (next_t - prev_t)) * prev_v

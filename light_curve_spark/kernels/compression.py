@@ -365,9 +365,11 @@ def encode_values_batch(values_list: list[np.ndarray]) -> list[bytes]:
     # cache blocking: a full Arrow batch (~1.5M tokens) drags a ~100 MB
     # working set through every vector op, saturating the shared LLC and
     # killing multi-core scaling; ~128k-token groups keep the working set
-    # in-cache (same output, groups are independent)
+    # in-cache (same output, groups are independent). Groups go straight
+    # to the non-blocking core — re-entering this function would recurse
+    # forever on a group made of a single > 2*CHUNK_TOKENS array.
     CHUNK_TOKENS = 128_000
-    if sum(a.shape[0] for a in arrs) > 2 * CHUNK_TOKENS:
+    if R > 1 and sum(a.shape[0] for a in arrs) > 2 * CHUNK_TOKENS:
         out: list[bytes] = []
         group: list[np.ndarray] = []
         acc = 0
@@ -375,11 +377,19 @@ def encode_values_batch(values_list: list[np.ndarray]) -> list[bytes]:
             group.append(a)
             acc += a.shape[0]
             if acc >= CHUNK_TOKENS:
-                out.extend(encode_values_batch(group))
+                out.extend(_encode_values_batch_core(group))
                 group, acc = [], 0
         if group:
-            out.extend(encode_values_batch(group))
+            out.extend(_encode_values_batch_core(group))
         return out
+    return _encode_values_batch_core(arrs)
+
+
+def _encode_values_batch_core(arrs: list[np.ndarray]) -> list[bytes]:
+    """Non-blocking vectorized body of :func:`encode_values_batch`;
+    ``arrs`` are int64 ndarrays. Handles any sizes, including a single
+    oversized series (cache-suboptimal but correct)."""
+    R = len(arrs)
     lengths = np.fromiter((a.shape[0] for a in arrs), dtype=np.int64, count=R)
     headers = []
     for a, n in zip(arrs, lengths):

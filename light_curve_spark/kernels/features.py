@@ -160,13 +160,17 @@ def dmdt_counts(
     n_dt: int,
     n_dm: int,
     dm_offset: float,
+    strict_dt: bool = False,
 ) -> np.ndarray:
     """dm-dt map (the reference ecosystem's light-curve-dmdt capability,
     /root/reference/README.md:17; Mahabal et al. 2017 construction): for
     every ordered pair i<j (by time), histogram (dt, dm) into an
     (n_dt, n_dm) grid with linear bins:
         dt_bin = floor(dt / dt_width), dm_bin = floor((dm + dm_offset) / dm_width)
-    out-of-range pairs are dropped. Vectorized via outer differences."""
+    out-of-range pairs are dropped. ``strict_dt=True`` drops tied-time
+    pairs (dt == 0) — the semantics of the relational twin's ``a.t < b.t``
+    self-join; default False counts them in dt_bin 0 (index order i<j).
+    Vectorized via outer differences."""
     t = np.asarray(t, dtype=np.float64)
     m = np.asarray(m, dtype=np.float64)
     n = t.shape[0]
@@ -179,6 +183,8 @@ def dmdt_counts(
     bi = np.floor(dt / dt_width)
     bj = np.floor((dm + dm_offset) / dm_width)
     ok = (bi >= 0) & (bi < n_dt) & (bj >= 0) & (bj < n_dm)
+    if strict_dt:
+        ok &= dt > 0
     flat = (bi[ok].astype(np.int64) * n_dm + bj[ok].astype(np.int64))
     counts = np.bincount(flat, minlength=n_dt * n_dm)
     return counts.reshape(n_dt, n_dm)

@@ -11,7 +11,10 @@ BroadcastNestedLoopJoin (the plan Catalyst would pick for the naive
 
 Ties: a right row AT the left timestamp matches (inclusive, like
 DuckDB/pandas ``ASOF JOIN`` backward semantics — the DuckDB twin in
-__spark_entry__ cross-checks this).
+__spark_entry__ cross-checks this). Among MULTIPLE right rows at the
+same (key, t) the winner is deterministic: the row with the greatest
+(value_cols..., t) tuple — pinned by a struct column in the window
+order, tested against repartitionings in tests/test_asof.py.
 """
 
 from __future__ import annotations
@@ -48,11 +51,21 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         F.col(t_col).alias("_r_t"),
     )
-    u = l.unionByName(r)
+    u = l.unionByName(r).withColumn(
+        # deterministic tie-break among DUPLICATE right timestamps: order
+        # right rows by the struct of their value columns (+ _r_t), so
+        # last() always picks the lexicographically-greatest right row.
+        # Without this, orderBy('_t','_is_left') is not a total order and
+        # the winner flickers across runs/partitionings.
+        "_r_ord",
+        F.struct(*[F.col(f"_r_{c}") for c in value_cols], F.col("_r_t")),
+    )
     # right rows sort BEFORE left rows at equal t -> inclusive match
+    # (left rows carry a null _r_ord but _is_left dominates the ordering,
+    # and all last() sources are non-null only on right rows)
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_t", "_is_left")
+        .orderBy("_t", "_is_left", "_r_ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

@@ -70,7 +70,12 @@ def chunk_outliers(seq: DataFrame, max_len: int = 4096) -> DataFrame:
     """Split sequences longer than ``max_len`` into (doc_id, chunk_no)
     sub-sequences using built-in array slicing (no UDF). Keeps every
     chunk's Arrow footprint bounded regardless of the n_tok long tail."""
-    n_chunks = F.ceil(F.col("n_tok") / F.lit(max_len)).cast("int")
+    # clamp to >= 1: n_tok == 0 would yield F.sequence(0, -1), which Spark
+    # evaluates as the DESCENDING sequence [0, -1] — two bogus chunk rows
+    # (one with a negative slice offset) instead of a single empty chunk
+    n_chunks = F.greatest(
+        F.ceil(F.col("n_tok") / F.lit(max_len)).cast("int"), F.lit(1)
+    )
     return (
         seq.withColumn("chunk_no", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
         .withColumn("t_off", F.col("chunk_no") * F.lit(max_len))

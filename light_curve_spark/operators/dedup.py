@@ -32,8 +32,12 @@ inverted-index pruning, and it bounds the join fan-out at 100 TB).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from light_curve_spark.plans.caching import cached
 
 
 def _norm_text(col: str = "text") -> F.Column:
@@ -94,6 +98,11 @@ def ngram_jaccard_pairs(
         grams.groupBy("gram").count().filter(F.col("count") <= max_df).select("gram"),
         "gram",
     )
+    # persist the pruned inverted index: it feeds the per-doc sizes AND
+    # both sides of the self-join — without this, Catalyst recomputes the
+    # normalize+split+zip_with n-gram construction ~3x (3 corpus scans at
+    # 100 TB). Session-scoped; released via release_operator_caches().
+    grams = cached(grams)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -164,6 +173,10 @@ def minhash_lsh_pairs(
     with_sig = with_sig.withColumn(
         "sig", _minhash_signature(F.col("grams"), num_hashes)
     )
+    # persist: the gram hashing + signature subtree is consumed by the
+    # banding explode AND (twice) by the verification joins; uncached,
+    # each consumer re-runs the full n-gram construction over the corpus
+    with_sig = cached(with_sig)
     # band WITHOUT the gram arrays: the band join + distinct must move
     # only (doc_id, band) keys, never document content
     banded = with_sig.select(
@@ -242,13 +255,64 @@ def simhash(text_col: str = "text", bits: int = 64) -> F.Column:
     return out
 
 
+def simhash_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh): same hashes as :func:`simhash`, ONE pass.
+
+    The expression form runs 64 interpreted ``F.aggregate`` lambdas per
+    document (higher-order functions don't codegen) — a scale tax. Here
+    the per-word hashing stays JVM-side (one codegen'd
+    transform/xxhash64), and a single mapInArrow kernel does all 64 bit
+    votes at once in numpy over the flat ListArray buffer (bit-matrix +
+    one add.reduceat per batch). Zero shuffle; hash parity with the
+    expression twin is pytest-asserted."""
+    import pyarrow as pa
+
+    words = F.split(_norm_text(text_col), " ")
+    hashed = docs.select(
+        "doc_id", F.transform(words, lambda w: F.xxhash64(w)).alias("_h")
+    )
+    out_schema = StructType(
+        [docs.schema["doc_id"], StructField("sh", LongType(), False)]
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def fn(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            h = b.column(b.schema.get_field_index("_h"))
+            off = h.offsets.to_numpy()
+            lengths = (off[1:] - off[:-1]).astype(np.int64)
+            starts = np.cumsum(lengths) - lengths
+            flat = h.flatten().to_numpy().astype(np.int64).view(np.uint64)
+            # bit matrix (words x 64, int32) -> per-doc set-bit counts
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            # reduceat needs in-range indices; empty segments fixed below
+            idx = np.minimum(starts, max(flat.shape[0] - 1, 0))
+            cnt = np.add.reduceat(bits, idx, axis=0) if flat.size else np.zeros(
+                (lengths.shape[0], 64), dtype=np.int32
+            )
+            # vote for bit i: (+1 per set, -1 per unset) > 0  <=>  2*cnt > n
+            votes = (2 * cnt.astype(np.int64)) > lengths[:, None]
+            votes[lengths == 0] = False
+            sh = (votes.astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            ).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("doc_id")), pa.array(sh)],
+                ["doc_id", "sh"],
+            )
+
+    return hashed.mapInArrow(fn, schema=out_schema)
+
+
 def simhash_dedup(
     docs: DataFrame, band_bits: int = 16, text_col: str = "text"
 ) -> DataFrame:
     """Near-dup candidates by SimHash: documents sharing any of the four
     16-bit bands of their 64-bit simhash (standard Hamming-distance
     blocking). Returns (doc_a, doc_b, hamming)."""
-    sh = docs.select("doc_id", simhash(text_col).alias("sh"))
+    sh = simhash_kernel(docs, text_col)
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sh.select(

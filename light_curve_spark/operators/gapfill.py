@@ -9,12 +9,10 @@ gap-fill"):
   grid rows are unioned under the series and a single key-partitioned
   window pass derives (prev knot, next knot) per grid point; the lerp and
   the left/right boundary fills are plain expressions. SQL-checkable
-  (DuckDB twin in __spark_entry__). Tie semantics note: at a grid point
-  exactly on a knot the knot's value is taken; with DUPLICATE knot
-  timestamps this path picks the last knot at that t, whereas the
-  reference picks the first (light-curve-interpol/src/lib.rs:55). The
-  kernel path below reproduces the reference exactly; use it whenever
-  duplicate timestamps are possible.
+  (DuckDB twin in __spark_entry__). Duplicate-knot semantics match the
+  reference (first dup for exact hits / right neighbor, last dup for the
+  left neighbor — light-curve-interpol/src/lib.rs:55), cross-checked
+  against the kernel path on duplicate-t data in tests.
 - :func:`regrid_kernel` — strategy K, the golden-parity path: per-series
   applyInPandas around kernels.interpolate (bit-exact reference
   semantics, /root/reference/light-curve-interpol/src/lib.rs:32-71),
@@ -68,25 +66,49 @@ def interpolate_relational(
     left: float,
     right: float,
     keys: list[str] | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Regrid ``series`` (key..., t, v) onto ``grid`` (key..., t) rows.
 
     One unionByName + one hash partition by key feeding two mirrored
     window passes (prev/next knot); no join. Output: (key..., t, v).
+
+    Duplicate-knot semantics match the reference kernel
+    (light-curve-interpol/src/lib.rs:55): at duplicate knot timestamps an
+    exact hit and the right-neighbor use the FIRST duplicate, the
+    left-neighbor uses the LAST. "First/last" follow ``order_col`` (the
+    caller's row-order column) when given; otherwise the value itself is
+    the deterministic tie order (first = smallest v) — pass ``order_col``
+    whenever the original row order matters.
     """
     keys = keys or ["doc_id"]
-    s = series.select(*keys, "t", "v", F.lit(0).alias("is_grid"))
-    g = grid.select(*keys, "t", F.lit(None).cast("double").alias("v"), F.lit(1).alias("is_grid"))
+    ord_src = order_col or "v"
+    ord_type = series.schema[ord_src].dataType
+    s = series.select(
+        *keys, "t", "v", F.col(ord_src).alias("_ord"), F.lit(0).alias("is_grid")
+    )
+    g = grid.select(
+        *keys,
+        "t",
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast(ord_type).alias("_ord"),
+        F.lit(1).alias("is_grid"),
+    )
     u = s.unionByName(g)
-    # knots order before grid rows at equal t -> exact hits resolve to the knot value
+    # grid rows sort BEFORE knots at equal t (is_grid DESC): the next-knot
+    # window then still sees same-t knots, so an exact hit degenerates to
+    # next_v == the FIRST duplicate knot, while the prev-knot window only
+    # sees strictly-earlier knots (whose last duplicate wins) — exactly
+    # the reference's searchsorted semantics.
+    order = [F.col("t").asc(), F.col("is_grid").desc(), F.col("_ord").asc()]
     w_prev = (
         Window.partitionBy(*keys)
-        .orderBy("t", "is_grid")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_next = (
         Window.partitionBy(*keys)
-        .orderBy("t", "is_grid")
+        .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     knot_t = F.when(F.col("v").isNotNull(), F.col("t"))
@@ -99,7 +121,7 @@ def interpolate_relational(
     )
     alpha = (F.col("next_t") - F.col("t")) / (F.col("next_t") - F.col("prev_t"))
     v_out = (
-        F.when(F.col("prev_t") == F.col("t"), F.col("prev_v"))  # exact hit
+        F.when(F.col("next_t") == F.col("t"), F.col("next_v"))  # exact hit
         .when(F.col("prev_t").isNull(), F.lit(left))  # before first knot
         .when(F.col("next_t").isNull(), F.lit(right))  # after last knot
         .otherwise(alpha * F.col("prev_v") + (F.lit(1.0) - alpha) * F.col("next_v"))

@@ -65,19 +65,23 @@ def rollup_tiers(
     scans the raw series ONCE: without it, the union's three branches
     each recompute their full lineage (3 raw scans + 6 exchanges at 3
     tiers — verified in PLANS.md). Cached partials are tiny relative to
-    raw (1/base_width per tier) and evict under LRU."""
+    raw (1/base_width per tier); they are registered in the session-scoped
+    cache registry — call plans.caching.release_operator_caches() at a
+    batch boundary to unpersist (the pipeline does)."""
+    from light_curve_spark.plans.caching import cached
+
     keys = keys or ["doc_id", "source"]
     tiered: list[DataFrame] = []
     cur = _base_rollup(series, keys, base_width * tiers[0])
     if persist_intermediate and len(tiers) > 1:
-        cur = cur.persist()
+        cur = cached(cur)
     tiered.append(cur.withColumn("tier", F.lit(tiers[0])))
     for i, (prev_t, t) in enumerate(zip(tiers, tiers[1:])):
         if t % prev_t != 0:
             raise ValueError(f"tier {t} not a multiple of {prev_t}")
         cur = _cascade(cur, keys, t // prev_t)
         if persist_intermediate and i < len(tiers) - 2:
-            cur = cur.persist()
+            cur = cached(cur)
         tiered.append(cur.withColumn("tier", F.lit(t)))
     out = reduce(lambda a, b: a.unionByName(b), tiered)
     return out.select(

@@ -5,10 +5,7 @@ expressions (whole-stage codegen; SQL-checkable in DuckDB)."""
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -124,34 +121,100 @@ FINGERPRINT_SCHEMA = StructType(
 )
 
 
+def _fingerprint_powers(window: int) -> np.ndarray:
+    """B^(w-1-j) mod 2^64 for j = 0..w-1 (uint64 wraparound is the mod)."""
+    B = np.uint64(1000003)
+    powers = np.empty(window, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        powers[window - 1] = np.uint64(1)
+        for j in range(window - 2, -1, -1):
+            powers[j] = powers[j + 1] * B
+    return powers
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling polynomial hash
     over byte windows (Schleimer et al. 2003 'winnowing' idea, reduced to
-    the min-hash of all windows). Vectorized numpy rolling hash in a
-    mapInPandas kernel — the one text op not expressible relationally."""
-    B = np.uint64(1000003)
-    # B^(w-1-j) mod 2^64 for j = 0..w-1
-    powers = np.empty(window, dtype=np.uint64)
-    powers[window - 1] = np.uint64(1)
-    for j in range(window - 2, -1, -1):
-        powers[j] = powers[j + 1] * B
+    the min-hash of all windows; min in UNSIGNED order, emitted as the
+    bit-equal int64). Fully segment-vectorized ``mapInArrow`` kernel: the
+    Arrow StringArray's (offsets, data) buffers give flat UTF-8 bytes +
+    per-doc lengths, the rolling hash is ``window`` shifted multiply-adds
+    over the whole flat buffer, and one ``np.minimum.reduceat`` takes the
+    per-document min — NO per-document Python loop. Docs shorter than
+    ``window`` are space-padded (0x20) to one window, same as the scalar
+    definition; cross-document windows are masked out before the min."""
+    import pyarrow as pa
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            fps = []
-            for text in pdf[text_col]:
-                data = np.frombuffer(
-                    (text or "").encode("utf-8", "ignore"), dtype=np.uint8
-                ).astype(np.uint64)
-                if data.shape[0] < window:
-                    data = np.pad(data, (0, window - data.shape[0]), constant_values=32)
-                n = data.shape[0]
-                # h_i = sum_{j<w} data[i+j] * B^(w-1-j): one shifted
-                # vector multiply-add per window offset (w=8), no byte loop
-                h = np.zeros(n - window + 1, dtype=np.uint64)
+    powers = _fingerprint_powers(window)
+
+    def _segments(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
+        """(flat_bytes_u8, lengths) from a string/large_string array;
+        nulls become empty docs."""
+        if pa.types.is_string(arr.type):
+            arr = arr.cast(pa.large_string())
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        raw = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        data = raw[off[0] : off[-1]]
+        lengths = np.diff(off)
+        if arr.null_count:
+            valid = np.asarray(arr.is_valid())
+            lengths = np.where(valid, lengths, 0)
+        return data, lengths
+
+    def fn(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            data, lengths = _segments(b.column(b.schema.get_field_index(text_col)))
+            R = lengths.shape[0]
+            starts = np.cumsum(lengths) - lengths
+            # re-pack into a padded flat buffer: every doc gets at least
+            # one full window (pad byte 0x20 = space)
+            out_len = np.maximum(lengths, window)
+            new_starts = np.cumsum(out_len) - out_len
+            npad = int(out_len.sum())
+            flat = np.full(npad, 32, dtype=np.uint64)
+            doc_of_src = np.repeat(np.arange(R), lengths)
+            src_pos = np.arange(data.shape[0]) - starts[doc_of_src]
+            flat[new_starts[doc_of_src] + src_pos] = data
+            # rolling hash over the padded flat buffer: h_p = sum_j
+            # flat[p+j] * B^(w-1-j), one shifted multiply-add per offset
+            n_h = npad - window + 1
+            h = np.zeros(n_h, dtype=np.uint64)
+            with np.errstate(over="ignore"):
                 for j in range(window):
-                    h += data[j : n - window + 1 + j] * powers[j]
-                fps.append(int(h.min().astype(np.int64)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": fps})
+                    h += flat[j : n_h + j] * powers[j]
+            # mask windows that straddle a document boundary
+            doc_of_h = np.repeat(np.arange(R), out_len)[:n_h]
+            pos_in_doc = np.arange(n_h) - new_starts[doc_of_h]
+            h[pos_in_doc > (out_len[doc_of_h] - window)] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            fp = np.minimum.reduceat(h, new_starts).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("doc_id")), pa.array(fp)],
+                ["doc_id", "fingerprint"],
+            )
 
-    return docs.select("doc_id", text_col).mapInPandas(fn, schema=FINGERPRINT_SCHEMA)
+    return docs.select("doc_id", text_col).mapInArrow(fn, schema=FINGERPRINT_SCHEMA)
+
+
+def fingerprint_scalar(text: str, window: int = 8) -> int:
+    """Per-document scalar twin of :func:`fingerprint` (naive byte loop) —
+    the definition used by tests and the fixture oracle."""
+    data = list((text or "").encode("utf-8", "ignore"))
+    if len(data) < window:
+        data = data + [32] * (window - len(data))
+    B = 1000003
+    best = None
+    for i in range(len(data) - window + 1):
+        h = 0
+        for byte in data[i : i + window]:
+            h = (h * B + byte) % (1 << 64)
+        best = h if best is None or h < best else best
+    return best - (1 << 64) if best >= (1 << 63) else best

@@ -1,0 +1,47 @@
+"""Persist lifecycle for library operators.
+
+Some operators MUST persist an intermediate to stop Catalyst recomputing
+a shared subtree for every consumer (e.g. the pruned gram inverted index
+feeds its own document-frequency aggregate AND both sides of a
+self-join — without a persist that is ~4 full corpus scans at 100 TB).
+But a bare ``df.persist()`` inside a library function leaks storage into
+the caller's session: repeated calls in a long-running app accumulate
+cached partials forever.
+
+:func:`cached` persists AND registers the DataFrame in a session-scoped
+registry; applications call :func:`release_operator_caches` at a batch
+boundary (the pipeline does this per run; benchmarks between queries).
+Storage level is MEMORY_AND_DISK: at 100 TB the pruned intermediates are
+orders of magnitude smaller than raw, and spilling beats recomputing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_ACTIVE: list[DataFrame] = []
+
+
+def cached(
+    df: DataFrame, storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """Persist ``df`` and register it for batch-boundary release."""
+    df = df.persist(storage_level)
+    _ACTIVE.append(df)
+    return df
+
+
+def release_operator_caches() -> int:
+    """Unpersist every operator-cached DataFrame registered since the
+    last release; returns how many were released. Safe to call anytime —
+    lazily-defined queries simply recompute after release."""
+    n = 0
+    while _ACTIVE:
+        df = _ACTIVE.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    return n

@@ -35,6 +35,7 @@ from light_curve_spark.operators.rollup import (
     rollup_tiers_arrays,
 )
 from light_curve_spark.operators.series import explode_series
+from light_curve_spark.plans.caching import release_operator_caches
 from light_curve_spark.plans.salting import salted_repartition
 
 
@@ -139,6 +140,9 @@ def run_pipeline(
             chunks.unpersist()
         finally:
             gseq.unpersist()
+            # release any operator-level caches (rollup tier partials,
+            # dedup inverted indexes) accumulated during this group
+            release_operator_caches()
 
         state["done_groups"].append(group)
         save_checkpoint(cfg, state)

@@ -44,3 +44,23 @@ def test_asof_join_plan_has_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_asof_join_duplicate_right_timestamps_deterministic(spark):
+    """Among several right rows at the same (key, t), the winner is the
+    greatest (value..., t) tuple — and it must not flicker with
+    partitioning (the round-1 nondeterminism finding)."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "t": [10.0], "lv": [1]})
+    )
+    right_pdf = pd.DataFrame(
+        {"k": ["a"] * 3, "t": [5.0, 5.0, 5.0], "rv": [7.0, 9.0, 3.0]}
+    )
+    for parts in (1, 3):
+        right = spark.createDataFrame(right_pdf).repartition(parts)
+        out = asof_join(left, right, keys=["k"], value_cols=["rv"]).collect()
+        assert len(out) == 1
+        assert out[0].asof_rv == 9.0  # max value wins, every time
+        assert out[0].asof_t == 5.0

@@ -228,3 +228,27 @@ def test_columnar_size_close_to_interleaved():
     v = rng.integers(0, 50257, size=4096).astype(np.int64)
     a, b = len(encode_values(v)), len(encode_values_columnar(v))
     assert b < a * 1.05  # same information, ~same size
+
+
+def test_batch_values_single_oversized_series_no_recursion():
+    """A single series above 2x the cache-block size used to recurse
+    forever (ADVICE r1); it must encode directly and round-trip."""
+    import numpy as np
+
+    from light_curve_spark.kernels.compression import (
+        decode_values,
+        encode_values,
+        encode_values_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 50257, size=300_000, dtype=np.int64)
+    out = encode_values_batch([big])
+    assert out[0] == encode_values(big)
+    assert np.array_equal(decode_values(out[0]), big)
+    # mixed batch containing the oversized series still matches per-series
+    small = rng.integers(0, 50257, size=100, dtype=np.int64)
+    mixed = encode_values_batch([small, big, small])
+    assert mixed[0] == encode_values(small)
+    assert mixed[1] == encode_values(big)
+    assert mixed[2] == encode_values(small)

@@ -368,3 +368,99 @@ def test_lttb_downsample_properties(spark):
     pdf = pd.DataFrame({"doc_id": ["a"] * 100, "t": t, "v": v})
     out = downsample_lttb(spark.createDataFrame(pdf), n_out=10).head()
     assert len(out.t_ds) == 10 and 100.0 in out.v_ds
+
+
+def test_interpolate_relational_duplicate_knots_match_reference(spark):
+    """Duplicate-knot semantics (reference light-curve-interpol
+    src/lib.rs:141-154): exact hit + right neighbor use the FIRST dup,
+    left neighbor the LAST — relational path vs the bit-exact kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from light_curve_spark.kernels.interpolate import interpolate
+    from light_curve_spark.operators.gapfill import interpolate_relational
+
+    x = [0.0, 1.0, 1.0, 2.0]
+    y = [1.0, 2.0, 3.0, 4.0]
+    targets = [-0.5, 0.0, 0.5, 1.0, 1.5, 2.0, 2.5]
+    knots = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["x"] * 4, "t": x, "v": y, "ord": range(4)})
+    )
+    grid = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["x"] * len(targets), "t": targets})
+    )
+    out = {
+        r.t: r.v
+        for r in interpolate_relational(
+            knots, grid, left=-1.0, right=-1.0, keys=["doc_id"], order_col="ord"
+        ).collect()
+    }
+    expected = interpolate(
+        np.array(x), np.array(y), np.array(targets), -1.0, -1.0
+    )
+    for t, e in zip(targets, expected):
+        assert out[t] == e, (t, out[t], e)
+
+
+def test_chunk_outliers_empty_sequence_single_chunk(spark):
+    """n_tok == 0 must yield exactly one empty chunk, not the bogus
+    [0, -1] descending-sequence pair (ADVICE r1)."""
+    import pandas as pd
+
+    from light_curve_spark.operators.compress import (
+        chunk_outliers,
+        decode_chunks,
+        encode_chunks,
+    )
+
+    seq = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["empty", "tiny"],
+                "tokens": [[], [1, 2, 3]],
+                "n_tok": [0, 3],
+                "source": ["web", "web"],
+            }
+        )
+    )
+    rows = chunk_outliers(seq, max_len=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc["empty"]) == 1
+    assert by_doc["empty"][0].chunk_no == 0
+    assert by_doc["empty"][0].n_tok == 0
+    assert len(by_doc["tiny"]) == 2
+    # full round trip still exact
+    back = {
+        r.doc_id: list(r.tokens)
+        for r in decode_chunks(encode_chunks(seq, max_len=2)).collect()
+        if r.chunk_no == 0
+    }
+    assert back["empty"] == []
+
+
+def test_dmdt_kernel_matches_relational_with_tied_timestamps(spark):
+    import pandas as pd
+
+    from light_curve_spark.operators.dmdt import dmdt_kernel, dmdt_relational
+
+    s = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a"] * 6 + ["b"] * 3,
+                "t": [0.0, 1.0, 1.0, 2.0, 5.0, 5.0, 0.0, 0.0, 3.0],
+                "v": [1.0, 2.0, 3.0, 1.5, 9.0, 2.0, 4.0, 4.0, 5.0],
+            }
+        )
+    )
+    args = dict(dt_width=1.0, dm_width=2.0, n_dt=8, n_dm=8, dm_offset=8.0)
+    k = {
+        (r.doc_id, r.dt_bin, r.dm_bin): r.n_pairs
+        for r in dmdt_kernel(s, **args).collect()
+    }
+    r = {
+        (r.doc_id, r.dt_bin, r.dm_bin): r.n_pairs
+        for r in dmdt_relational(s, **args).collect()
+    }
+    assert k == r and len(k) > 0

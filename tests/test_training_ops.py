@@ -231,3 +231,34 @@ def test_embedding_pairs_lsh_subset_of_exact(spark):
     assert len(approx) >= 5  # near-identical vectors mostly share buckets
     for k, v in approx.items():
         assert v == exact[k]
+
+
+def test_fingerprint_kernel_matches_scalar_twin(spark, docs):
+    from light_curve_spark.operators.text import fingerprint, fingerprint_scalar
+
+    out = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for doc_id, text in texts.items():
+        assert out[doc_id] == fingerprint_scalar(text), doc_id
+    # short-doc (< window) padding path
+    import pandas as pd
+
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "ab", "exactly8"]})
+    )
+    got = {r.doc_id: r.fingerprint for r in fingerprint(tiny).collect()}
+    for r in [0, 1, 2]:
+        assert got[r] == fingerprint_scalar(["", "ab", "exactly8"][r])
+
+
+def test_simhash_kernel_matches_expression_twin(spark, docs):
+    from pyspark.sql import functions as F
+
+    from light_curve_spark.operators.dedup import simhash, simhash_kernel
+
+    expr = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash().alias("sh")).collect()
+    }
+    kern = {r.doc_id: r.sh for r in simhash_kernel(docs).collect()}
+    assert expr == kern
