@@ -2,11 +2,14 @@
 
 ``entry`` runs the flagship tier-rollup over sf0.001; ``queries`` maps
 every implemented operator from SURVEY.md §2 (plus the training-data
-pipeline ops) to a callable; ``oracle_sql`` provides DuckDB twins for
-every SQL-expressible query. Non-SQL-expressible ops (MinHash/SimHash
-LSH — engine-specific hash functions; kernel periodogram; compression
-round-trip; ANN probing; fingerprints; multimodal stubs) have no oracle
-entry and get the driver's rows-only check.
+pipeline ops) to a callable; ``oracle_sql`` provides a DuckDB oracle for
+EVERY query: SQL twins where the math is SQL-expressible, and
+``read_parquet`` fixture oracles elsewhere (MinHash/SimHash LSH,
+fingerprints, ANN probing, kernel periodogram moments, LTTB, media
+stubs, synthetic-roundtrip) — the fixtures are materialized by an
+INDEPENDENT naive pure-Python implementation of each spec
+(scripts/oracle_impl.py + scripts/export_oracle_fixtures.py) over the
+sf0.01 driver tables, the scale the driver's correctness gate runs at.
 
 Float policy: every computed float column is wrapped in round(·, 6) on
 BOTH sides so cross-engine reduction-order noise cannot flip the
@@ -545,6 +548,43 @@ def q_media_features(spark, sf_dir):
     return out.select("media_id", "kind", "n_bytes", _r6(F.col("feature")[0]).alias("f0"))
 
 
+def q_downsample_lttb_events(spark, sf_dir):
+    """LTTB downsample every user's series to 40 points, exploded back to
+    rows. t/v are raw pass-throughs of selected observations, so the
+    fixture oracle (independent pure-Python LTTB) matches bit-exactly."""
+    from light_curve_spark.operators.downsample import downsample_lttb
+
+    out = downsample_lttb(_events_series(spark, sf_dir), n_out=40, keys=["user_id"])
+    return out.select(
+        "user_id", F.explode(F.arrays_zip("t_ds", "v_ds")).alias("p")
+    ).select("user_id", F.col("p.t_ds").alias("t"), F.col("p.v_ds").alias("v"))
+
+
+def q_validate_events(spark, sf_dir):
+    """Ingest validation (SURVEY §2.7 reject-at-ingest policy): corrupt
+    the events series deterministically (null times / NaN values keyed on
+    event_id), then report reject counts by reason plus the clean count."""
+    from light_curve_spark.operators.validate import validate_series
+
+    _utc(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    t = F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+    corrupted = ev.select(
+        "user_id",
+        F.when(F.col("event_id") % 101 == 3, F.lit(None).cast("double"))
+        .otherwise(t)
+        .alias("t"),
+        F.when(F.col("event_id") % 97 == 5, F.lit(float("nan")))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    clean, rejects = validate_series(corrupted)
+    clean_row = clean.select(F.lit("clean").alias("reason")).groupBy("reason").agg(
+        F.count("*").alias("n_rejected")
+    )
+    return rejects.unionByName(clean_row)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: tier-cascade rollup of the events series at sf0.001."""
     return q_rollup_tiers_events(spark, "/root/testdata/sf0.001")
@@ -585,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_roundtrip_sequences": q_chunk_roundtrip_sequences,
         "periodogram_sequences": q_periodogram_sequences,
         "media_features": q_media_features,
+        "downsample_lttb_events": q_downsample_lttb_events,
+        "validate_events": q_validate_events,
     }
 
 
@@ -960,6 +1002,42 @@ WHERE list_sum(list_transform(list_zip(a.v, b.v),
       / (a.nv * b.nv) >= 0.4
 """
 
+# ---------------------------------------------------------------------------
+# fixture-backed oracles: pure-Python reference implementations
+# (scripts/oracle_impl.py — naive loops, zero code shared with the
+# engine) materialized to parquet by scripts/export_oracle_fixtures.py
+# over the sf0.01 driver tables. DuckDB reads them with read_parquet, so
+# the driver's compare works exactly like the SQL twins. Bound to
+# sf0.01 — the driver's correctness-gate scale.
+# ---------------------------------------------------------------------------
+
+_FIXTURES = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "oracle"
+)
+
+
+def _fixture_sql(fname: str, select: str) -> str:
+    return f"SELECT {select} FROM read_parquet('{_FIXTURES}/{fname}')"
+
+
+_VALIDATE_SQL = """
+WITH c AS (
+  SELECT CASE WHEN event_id % 101 = 3 THEN NULL
+              ELSE CAST(epoch_us(ts) AS DOUBLE) END AS t,
+         CASE WHEN event_id % 97 = 5 THEN CAST('nan' AS DOUBLE)
+              ELSE value END AS v
+  FROM events
+),
+tagged AS (
+  SELECT CASE WHEN t IS NULL OR isnan(t) THEN 'bad_time'
+              WHEN v IS NULL OR isnan(v) THEN 'bad_value'
+              ELSE 'clean' END AS reason
+  FROM c
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n_rejected
+FROM tagged GROUP BY reason
+"""
+
 _AMPLITUDE_LINEITEM_SQL = """
 SELECT l_returnflag,
        round((max(l_extendedprice) - min(l_extendedprice)) / 2.0, 6) AS amplitude,
@@ -1010,7 +1088,40 @@ def _raw_oracles() -> dict[str, str]:
         "embedding_pairs_exact": _EMB_PAIRS_SQL,
         "cosine_topk_embeddings": _COSINE_SQL,
         "cosine_topk_embeddings_kernel": _COSINE_SQL,
-        # no oracle (rows-only checks): minhash_lsh_documents,
-        # simhash_documents, fingerprint_documents, lsh_ann_embeddings,
-        # chunk_roundtrip_sequences, periodogram_sequences, media_features
+        "validate_events": _VALIDATE_SQL,
+        # fixture-backed oracles (independent pure-Python reference
+        # implementations; see _FIXTURES comment above)
+        "minhash_lsh_documents": _fixture_sql(
+            "minhash_lsh.parquet",
+            "doc_a, doc_b, round(jaccard, 6) AS jaccard",
+        ),
+        "simhash_documents": _fixture_sql(
+            "simhash_pairs.parquet", "doc_a, doc_b, hamming"
+        ),
+        "fingerprint_documents": _fixture_sql(
+            "fingerprint.parquet", "doc_id, fingerprint"
+        ),
+        "lsh_ann_embeddings": _fixture_sql(
+            "lsh_ann.parquet", "vec_id, round(cosine, 6) AS cosine"
+        ),
+        "embedding_pairs_lsh": _fixture_sql(
+            "embedding_pairs_lsh.parquet",
+            "id_a, id_b, round(cosine, 6) AS cosine",
+        ),
+        "chunk_roundtrip_sequences": _fixture_sql(
+            "sequences_300.parquet", "doc_id, n_tok, TRUE AS roundtrip_ok"
+        ),
+        "periodogram_sequences": _fixture_sql(
+            "periodogram_seq.parquet",
+            "doc_id, round(pg_mean, 6) AS pg_mean, round(pg_std, 6) AS pg_std,"
+            " round(pg_peak_freq, 6) AS pg_peak_freq",
+        ),
+        "media_features": _fixture_sql(
+            "media_60.parquet",
+            "media_id, kind, n_bytes, round(f0, 6) AS f0",
+        ),
+        "downsample_lttb_events": _fixture_sql(
+            "lttb_events.parquet", "user_id, t, v"
+        ),
+        # no oracle remains only where no second implementation exists
     }

@@ -67,7 +67,10 @@ def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
             ids = pdf["id"].to_numpy().astype(np.uint64)
             rows = []
             for i in ids:
-                size = 64 + int(_splitmix64(np.array([i + np.uint64(seed)]))[0] % 1024)
+                # int() BEFORE the mod: numpy promotes uint64 % python-int
+                # to float64, which rounds 2^63-scale hashes to multiples
+                # of 2^11 and collapses the mod to ~always 0
+                size = 64 + int(_splitmix64(np.array([i + np.uint64(seed)]))[0]) % 1024
                 words = _splitmix64(
                     np.arange(size // 8 + 1, dtype=np.uint64)
                     + i * np.uint64(0x10001)

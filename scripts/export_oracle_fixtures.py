@@ -1,0 +1,192 @@
+"""Materialize independent-oracle fixtures for the queries whose math
+DuckDB SQL cannot express (hash families, LSH, winnowing, periodogram
+moments, LTTB, media stubs).
+
+Each fixture is computed by the NAIVE pure-Python/plain-numpy reference
+implementations in scripts/oracle_impl.py (no shared code with the
+engine's vectorized kernels or JVM expressions) over the sf0.01 driver
+tables — the scale at which the driver runs its correctness gate. The
+matching ``oracle_sql()`` entries in __spark_entry__.py are plain
+``SELECT ... FROM read_parquet('<fixture>')`` statements, so the driver
+compares the Spark engine against this second implementation exactly the
+way it compares against DuckDB twins.
+
+Re-run after changing any covered operator's spec:
+
+    PYTHONPATH=. python scripts/export_oracle_fixtures.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oracle_impl import (
+    embedding_pairs_lsh_ref,
+    fingerprint_ref,
+    lsh_ann_topk_ref,
+    media_row_ref,
+    minhash_lsh_pairs_ref,
+    sequence_row_ref,
+    simhash_pairs_ref,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "fixtures", "oracle")
+
+
+def _docs(sf_dir: str) -> list[tuple[int, str]]:
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def _embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return [
+        (vid, [float(x) for x in vec])
+        for vid, vec in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    ]
+
+
+def export_minhash(docs) -> None:
+    pairs = minhash_lsh_pairs_ref(docs, n=3, num_hashes=16, bands=4, threshold=0.5)
+    pd.DataFrame(pairs, columns=["doc_a", "doc_b", "jaccard"]).astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    ).to_parquet(os.path.join(OUT, "minhash_lsh.parquet"), index=False)
+
+
+def export_simhash(docs) -> None:
+    pairs = simhash_pairs_ref(docs, band_bits=16, max_hamming=8)
+    pd.DataFrame(pairs, columns=["doc_a", "doc_b", "hamming"]).astype(
+        {"doc_a": "int64", "doc_b": "int64", "hamming": "int32"}
+    ).to_parquet(os.path.join(OUT, "simhash_pairs.parquet"), index=False)
+
+
+def export_fingerprint(docs) -> None:
+    rows = [(doc_id, fingerprint_ref(text, window=8)) for doc_id, text in docs]
+    pd.DataFrame(rows, columns=["doc_id", "fingerprint"]).astype("int64").to_parquet(
+        os.path.join(OUT, "fingerprint.parquet"), index=False
+    )
+
+
+def export_lsh_ann(emb) -> None:
+    query = dict(emb)[0]
+    top = lsh_ann_topk_ref(emb, query, k=10, n_planes=8, probe_hamming=1)
+    pd.DataFrame(top, columns=["vec_id", "cosine"]).astype(
+        {"vec_id": "int64", "cosine": "float64"}
+    ).to_parquet(os.path.join(OUT, "lsh_ann.parquet"), index=False)
+
+
+def export_embedding_pairs_lsh(emb) -> None:
+    pairs = embedding_pairs_lsh_ref(emb, threshold=0.4, n_planes=4)
+    pd.DataFrame(pairs, columns=["id_a", "id_b", "cosine"]).astype(
+        {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    ).to_parquet(os.path.join(OUT, "embedding_pairs_lsh.parquet"), index=False)
+
+
+def export_sequences_and_periodogram(n_rows: int = 300, seed: int = 42) -> None:
+    freqs = np.linspace(0.05, 0.45, 9)
+    seq_rows, pg_rows = [], []
+    for rid in range(n_rows):
+        doc_id, n_tok, tokens = sequence_row_ref(rid, seed)
+        seq_rows.append((doc_id, n_tok))
+        # plain per-doc numpy periodogram (not the segment-vectorized
+        # kernel): normalized-power moments + peak frequency
+        v = np.asarray(tokens, dtype=np.float64)
+        t = np.arange(v.shape[0], dtype=np.float64)
+        d = v - v.mean()
+        power = np.empty(freqs.shape[0])
+        for k, f in enumerate(freqs):
+            ph = 2.0 * np.pi * f * t
+            c = float(np.sum(d * np.cos(ph)))
+            s = float(np.sum(d * np.sin(ph)))
+            power[k] = c * c + s * s
+        q = power / power.sum()
+        pg_rows.append(
+            (doc_id, float(q.mean()), float(q.std(ddof=1)), float(freqs[np.argmax(power)]))
+        )
+    pd.DataFrame(seq_rows, columns=["doc_id", "n_tok"]).astype(
+        {"n_tok": "int32"}
+    ).to_parquet(os.path.join(OUT, "sequences_300.parquet"), index=False)
+    pd.DataFrame(
+        pg_rows, columns=["doc_id", "pg_mean", "pg_std", "pg_peak_freq"]
+    ).to_parquet(os.path.join(OUT, "periodogram_seq.parquet"), index=False)
+
+
+def export_media(n_rows: int = 60, seed: int = 42) -> None:
+    rows = [media_row_ref(i, seed) for i in range(n_rows)]
+    pd.DataFrame(rows, columns=["media_id", "kind", "n_bytes", "f0"]).astype(
+        {"media_id": "int64", "n_bytes": "int64", "f0": "float64"}
+    ).to_parquet(os.path.join(OUT, "media_60.parquet"), index=False)
+
+
+def _lttb_ref(t: np.ndarray, v: np.ndarray, n_out: int):
+    """Independent LTTB (Steinarsson 2013): same bucket-edge/centroid
+    spec as operators/downsample.lttb, separately coded."""
+    n = t.shape[0]
+    if n_out >= n or n_out < 3:
+        return t, v
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    chosen = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = int(edges[i]), int(edges[i + 1])
+        nlo = int(edges[i + 1])
+        nhi = n if i + 1 == n_out - 2 else int(edges[i + 2])
+        cx = t[nlo:nhi].mean() if nhi > nlo else t[-1]
+        cy = v[nlo:nhi].mean() if nhi > nlo else v[-1]
+        best_j, best_area = lo, -1.0
+        for j in range(lo, hi):
+            area = abs((t[a] - cx) * (v[j] - v[a]) - (t[a] - t[j]) * (cy - v[a]))
+            if area > best_area:
+                best_j, best_area = j, area
+        a = best_j
+        chosen.append(a)
+    chosen.append(n - 1)
+    return t[chosen], v[chosen]
+
+
+def export_lttb_events(sf_dir: str, n_out: int = 40) -> None:
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    ).to_pandas()
+    # epoch microseconds as double — same series view as _events_series
+    tbl["t"] = tbl["ts"].astype("datetime64[us]").astype("int64").astype("float64")
+    out = []
+    for uid, g in tbl.groupby("user_id"):
+        order = np.argsort(g["t"].to_numpy(), kind="stable")
+        t = g["t"].to_numpy()[order]
+        v = g["value"].to_numpy()[order]
+        td, vd = _lttb_ref(t, v, n_out)
+        out.append(pd.DataFrame({"user_id": uid, "t": td, "v": vd}))
+    pd.concat(out).astype({"user_id": "int64"}).to_parquet(
+        os.path.join(OUT, "lttb_events.parquet"), index=False
+    )
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.makedirs(OUT, exist_ok=True)
+    docs = _docs(sf_dir)
+    emb = _embeddings(sf_dir)
+    export_minhash(docs)
+    print("minhash_lsh done")
+    export_simhash(docs)
+    print("simhash done")
+    export_fingerprint(docs)
+    print("fingerprint done")
+    export_lsh_ann(emb)
+    export_embedding_pairs_lsh(emb)
+    print("embedding LSH done")
+    export_sequences_and_periodogram()
+    print("sequences/periodogram done")
+    export_media()
+    export_lttb_events(sf_dir)
+    print("all fixtures written to", OUT)

@@ -1,0 +1,400 @@
+"""Independent pure-Python reference implementations used ONLY to build
+oracle fixtures (scripts/export_oracle_fixtures.py) for the queries whose
+math DuckDB SQL cannot express (engine hash families, LSH, winnowing,
+periodogram moments, media stub features).
+
+Everything here is deliberately naive — per-document loops, scalar
+arithmetic — so it shares no code path with the engine's vectorized
+numpy / JVM-expression implementations. Agreement between the two is a
+genuine cross-check, like the DuckDB twins.
+
+The only shared *specification* is the hash family: Spark's
+``xxhash64`` is the public XXH64 algorithm (Collet; public domain spec)
+with seed 42 and per-type input encoding:
+
+- long column: the 8-byte value through the single-lane tail (one
+  round), i.e. ``xxh64_long``;
+- string column: UTF-8 bytes through full XXH64 (``xxh64_bytes``);
+- multiple columns / array elements chain: the running hash is the seed
+  for the next value.
+
+Both are validated against Spark outputs in tests/test_oracle_impl.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+MASK64 = (1 << 64) - 1
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * P2) & MASK64
+    h ^= h >> 29
+    h = (h * P3) & MASK64
+    h ^= h >> 32
+    return h
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * P2) & MASK64
+    return (_rotl(acc, 31) * P1) & MASK64
+
+
+def xxh64_bytes(data: bytes, seed: int) -> int:
+    """XXH64 over a byte string (full algorithm, spec-faithful)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & MASK64
+        v2 = (seed + P2) & MASK64
+        v3 = seed & MASK64
+        v4 = (seed - P1) & MASK64
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & MASK64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * P1 + P4) & MASK64
+    else:
+        h = (seed + P5) & MASK64
+    h = (h + n) & MASK64
+    while i <= n - 8:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * P1 + P4) & MASK64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * P1) & MASK64
+        h = (_rotl(h, 23) * P2 + P3) & MASK64
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & MASK64
+        h = (_rotl(h, 11) * P1) & MASK64
+        i += 1
+    return _fmix(h)
+
+
+def xxh64_long(value: int, seed: int) -> int:
+    """XXH64 of one 8-byte little-endian long — Spark's hashLong path."""
+    h = (seed + P5 + 8) & MASK64
+    h ^= _round(0, value & MASK64)
+    h = (_rotl(h, 27) * P1 + P4) & MASK64
+    return _fmix(h)
+
+
+def to_i64(u: int) -> int:
+    """Reinterpret an unsigned 64-bit value as Spark's signed long."""
+    u &= MASK64
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def spark_xxhash64_str(s: str, seed: int = 42) -> int:
+    """F.xxhash64(string_col) — signed result."""
+    return to_i64(xxh64_bytes(s.encode("utf-8"), seed))
+
+
+def spark_xxhash64_longs(values: list[int], seed: int = 42) -> int:
+    """F.xxhash64(long_col, long_col, ...) or over an array<long>:
+    the running hash seeds the next element."""
+    h = seed
+    for v in values:
+        h = xxh64_long(v & MASK64, h & MASK64)
+    return to_i64(h)
+
+
+# ---------------------------------------------------------------------------
+# text / dedup reference computations (naive)
+# ---------------------------------------------------------------------------
+
+def norm_text(text: str) -> str:
+    """lowercase + collapse whitespace — operators/dedup._norm_text."""
+    import re
+
+    return re.sub(r"\s+", " ", (text or "").strip().lower())
+
+
+def word_ngrams(text: str, n: int = 3) -> list[str]:
+    """Distinct word n-grams, first-seen order."""
+    words = norm_text(text).split(" ")
+    if len(words) < n:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(words) - n + 1):
+        seen.setdefault(" ".join(words[i : i + n]), None)
+    return list(seen)
+
+
+def minhash_lsh_pairs_ref(
+    docs: list[tuple[int, str]],
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> list[tuple[int, int, float]]:
+    """Reference MinHash+LSH: same hash-family spec as
+    operators/dedup.minhash_lsh_pairs, naive loops throughout."""
+    rows_per_band = num_hashes // bands
+    gram_sets: dict[int, set[int]] = {}
+    sigs: dict[int, list[int]] = {}
+    for doc_id, text in docs:
+        grams = {spark_xxhash64_str(g) for g in word_ngrams(text, n)}
+        if not grams:
+            continue
+        gram_sets[doc_id] = grams
+        sigs[doc_id] = [
+            min(spark_xxhash64_longs([g, seed + j]) for g in grams)
+            for j in range(num_hashes)
+        ]
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            band_hash = spark_xxhash64_longs(
+                sig[b * rows_per_band : (b + 1) * rows_per_band]
+            )
+            buckets.setdefault((b, band_hash), []).append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(cand):
+        inter = len(gram_sets[a] & gram_sets[b])
+        jac = inter / (len(gram_sets[a]) + len(gram_sets[b]) - inter)
+        if jac >= threshold:
+            out.append((a, b, jac))
+    return out
+
+
+def simhash_ref(text: str) -> int:
+    """64-bit SimHash — operators/dedup.simhash spec, naive loops."""
+    words = norm_text(text).split(" ")
+    votes = [0] * 64
+    for w in words:
+        h = spark_xxhash64_str(w) & MASK64
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    sh = 0
+    for i in range(64):
+        if votes[i] > 0:
+            sh |= 1 << i
+    return to_i64(sh)
+
+
+def simhash_pairs_ref(
+    docs: list[tuple[int, str]], band_bits: int = 16, max_hamming: int = 8
+) -> list[tuple[int, int, int]]:
+    """Banded SimHash near-dup candidates with a final hamming filter —
+    operators/dedup.simhash_dedup + the query's hamming <= 8."""
+    hashes = {doc_id: simhash_ref(t) & MASK64 for doc_id, t in docs}
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sh in hashes.items():
+        for b in range(n_bands):
+            buckets.setdefault((b, (sh >> (b * band_bits)) & mask), []).append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(cand):
+        ham = bin(hashes[a] ^ hashes[b]).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return out
+
+
+def fingerprint_ref(text: str, window: int = 8) -> int:
+    """Winnowing-min rolling hash — operators/text.fingerprint_scalar
+    re-stated (min in unsigned order, emitted as the bit-equal int64)."""
+    data = list((text or "").encode("utf-8", "ignore"))
+    if len(data) < window:
+        data += [32] * (window - len(data))
+    B = 1000003
+    best = None
+    for i in range(len(data) - window + 1):
+        h = 0
+        for byte in data[i : i + window]:
+            h = (h * B + byte) & MASK64
+        if best is None or h < best:
+            best = h
+    return to_i64(best)
+
+
+# ---------------------------------------------------------------------------
+# embedding LSH reference (naive)
+# ---------------------------------------------------------------------------
+
+def splitmix64(x: int) -> int:
+    z = (x + 0x9E3779B97F4A7C15) & MASK64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK64
+    return z ^ (z >> 31)
+
+
+def hyperplanes_ref(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """operators/similarity._hyperplanes spec via scalar splitmix64."""
+    base = (seed * 0x9E3779B9) & MASK64
+    vals = [
+        (splitmix64((i + base) & MASK64) >> 11) / float(1 << 53)
+        for i in range(dim * n_planes)
+    ]
+    return [
+        [(vals[p * dim + d] - 0.5) * 2.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def _dot_seq(a: list[float], b: list[float]) -> float:
+    """Strictly sequential left-to-right sum — Spark's F.aggregate order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def cosine_ref(a: list[float], b: list[float]) -> float:
+    na = math.sqrt(_dot_seq(a, a))
+    nb = math.sqrt(_dot_seq(b, b))
+    return _dot_seq(a, b) / (na * nb)
+
+
+def lsh_bucket_ref(vec: list[float], planes: list[list[float]]) -> int:
+    bucket = 0
+    for i, plane in enumerate(planes):
+        if _dot_seq(vec, plane) >= 0:
+            bucket |= 1 << i
+    return bucket
+
+
+def lsh_ann_topk_ref(
+    embeddings: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> list[tuple[int, float]]:
+    """operators/similarity.lsh_ann_topk spec, naive."""
+    dim = len(query)
+    planes = hyperplanes_ref(dim, n_planes, seed)
+    qbucket = lsh_bucket_ref(query, planes)
+    probe = {qbucket}
+    if probe_hamming >= 1:
+        probe |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if probe_hamming >= 2:
+        probe |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    scored = [
+        (vid, cosine_ref(vec, query))
+        for vid, vec in embeddings
+        if lsh_bucket_ref(vec, planes) in probe
+    ]
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return scored[:k]
+
+
+def embedding_pairs_lsh_ref(
+    embeddings: list[tuple[int, list[float]]],
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> list[tuple[int, int, float]]:
+    """operators/similarity.embedding_cosine_pairs_lsh spec, naive."""
+    dim = len(embeddings[0][1])
+    planes = hyperplanes_ref(dim, n_planes, seed)
+    buckets: dict[int, list[tuple[int, list[float]]]] = {}
+    for vid, vec in embeddings:
+        buckets.setdefault(lsh_bucket_ref(vec, planes), []).append((vid, vec))
+    out = []
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ia, va), (ib, vb) = members[i], members[j]
+                cos = cosine_ref(va, vb)
+                if cos >= threshold:
+                    out.append((ia, ib, cos))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# synthetic sequences reference (naive scalar re-derivation)
+# ---------------------------------------------------------------------------
+
+def sequence_row_ref(row_id: int, seed: int = 42) -> tuple[str, int, list[int]]:
+    """(doc_id, n_tok, tokens) for one row — sources/synthetic.row_fields
+    spec via scalar splitmix64 (no numpy)."""
+    s = seed
+    u_len = (splitmix64((row_id * 3 + s) & MASK64) >> 11) / float(1 << 53)
+    n_tok = min(16384, max(1, int(72.0 * (1.0 - u_len) ** (-1.0 / 1.2))))
+    tokens = []
+    hi = (s << 32) & MASK64
+    for pos in range(n_tok):
+        ctr = (row_id * 0x1000003 + pos + hi) & MASK64
+        tokens.append(splitmix64(ctr) % 50257)
+    return f"doc{row_id:08d}", n_tok, tokens
+
+
+def periodogram_moments_ref(
+    tokens: list[int], freqs: list[float]
+) -> tuple[float, float, float]:
+    """(pg_mean, pg_std, pg_peak_freq) — naive trig-sum periodogram over
+    v_i = float(token_i), t_i = i; see kernels/features periodogram
+    (normalized amplitude spectrum, sample-std over the freq axis)."""
+    n = len(tokens)
+    mu = sum(float(x) for x in tokens) / n
+    amps = []
+    for f in freqs:
+        w = 2.0 * math.pi * f
+        c = sum((tokens[i] - mu) * math.cos(w * i) for i in range(n))
+        s = sum((tokens[i] - mu) * math.sin(w * i) for i in range(n))
+        amps.append(math.sqrt(c * c + s * s) / n)
+    m = sum(amps) / len(amps)
+    var = sum((a - m) ** 2 for a in amps) / (len(amps) - 1)
+    peak = freqs[max(range(len(amps)), key=lambda i: amps[i])]
+    return m, math.sqrt(var), peak
+
+
+# ---------------------------------------------------------------------------
+# media stub reference
+# ---------------------------------------------------------------------------
+
+def media_row_ref(media_id: int, seed: int = 42, feat_dim: int = 8):
+    """(media_id, kind, n_bytes, f0) — operators/multimodal synthetic
+    payload + fake decoder's first chunk-mean, scalar re-derivation."""
+    kinds = ["image", "audio", "video"]
+    size = 64 + splitmix64((media_id + seed) & MASK64) % 1024
+    n_words = size // 8 + 1
+    words = [
+        splitmix64((i + media_id * 0x10001 + seed) & MASK64) for i in range(n_words)
+    ]
+    payload = b"".join(w.to_bytes(8, "little") for w in words)[:size]
+    data = list(payload)
+    # np.array_split: first (n % k) chunks get one extra element
+    base, extra = divmod(len(data), feat_dim)
+    first_len = base + (1 if extra else 0)
+    chunk = data[:first_len]
+    f0 = sum(chunk) / len(chunk) if chunk else 0.0
+    return media_id, kinds[media_id % 3], len(data), f0
