@@ -6,8 +6,8 @@ Also runs the sequences pipeline workload (synthetic tokens table —
 features + tier rollup + Gorilla encode) and reports the north-star
 throughputs: rolled-up points/sec and token-bytes/sec through encode.
 
-Scaling evidence (local[8] vs local[32]) lives in
-scripts/scaling_bench.py, which writes BENCH.md.
+Scaling evidence (N=2 vs 4N=8 cores, plus the 8 vs 32 host-ceiling leg)
+lives in scripts/scaling_bench.py, which writes BENCH.md.
 """
 
 from __future__ import annotations
@@ -70,13 +70,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from light_curve_spark.plans.caching import release_operator_caches
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        t0 = time.time()
-        _run(df)
-        timings[name] = round(time.time() - t0, 3)
+        fn = queries[name]
+        # fresh operator caches per query; min-of-2 with a fresh plan per
+        # rep so the FIRST headline query doesn't eat JVM/Arrow/page-fault
+        # session warm-up (r1 verdict: rollup_tiers carried ~2x warm-up)
+        release_operator_caches()
+        timings[name] = _timed_min(lambda: _run(fn(spark, sf_dir)), reps=2)
+    release_operator_caches()
 
     # sequences pipeline workload: features -> rollup cascade -> encode
     import numpy as np

@@ -90,9 +90,16 @@ def ngram_jaccard_pairs(
 
     Inverted-index self-join; n-grams appearing in > max_df docs are
     pruned (skew + fan-out control; a pair sharing ONLY ultra-common
-    n-grams is not a near-dup)."""
+    n-grams is not a near-dup). Gram strings are hashed to int64
+    (xxhash64) BEFORE the explode: the df-aggregate and the self-join
+    then shuffle 8-byte keys instead of ~n-word strings (~3x less
+    shuffle traffic; identical Jaccard up to a ~|grams|^2/2^64 collision
+    probability — the same equivalence minhash verification uses)."""
     grams = docs.select(
-        "doc_id", F.explode(word_ngrams(text_col, n)).alias("gram")
+        "doc_id",
+        F.explode(
+            F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
+        ).alias("gram"),
     )
     grams = grams.join(
         grams.groupBy("gram").count().filter(F.col("count") <= max_df).select("gram"),

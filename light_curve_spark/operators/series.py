@@ -21,6 +21,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ensure_double_series(
+    series: DataFrame, cols: tuple[str, ...] = ("t", "v")
+) -> DataFrame:
+    """Cast-at-ingest for mixed float inputs: the reference is generic
+    over f32/f64 (and mixed T,U — light-curve-interpol/src/lib.rs:4-9,
+    tested at tol 1e-6 in light-curve-common/src/linspace.rs:17-20); the
+    engine computes everything in f64 for determinism (SURVEY §4.2.4), so
+    FloatType (or any numeric) series columns are widened to double here.
+    f32→f64 is exact, so kernel results on f32 inputs agree with the f64
+    path to within the inputs' own f32 quantization (tested)."""
+    from pyspark.sql.types import DoubleType
+
+    out = series
+    for c in cols:
+        if not isinstance(series.schema[c].dataType, DoubleType):
+            out = out.withColumn(c, F.col(c).cast("double"))
+    return out
+
+
 def explode_series(seq: DataFrame, irregular: bool = False) -> DataFrame:
     """Long form: (doc_id, source, t double, v double).
 

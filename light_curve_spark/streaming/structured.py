@@ -1,0 +1,127 @@
+"""Structured Streaming ingestion path for the rollup engine.
+
+The engine's PRIMARY posture stays batch-snapshot resume (see package
+docstring) — that is what makes bit-exact golden parity tractable. This
+module is the streaming twin for deployments where rollups must follow
+an arriving event stream instead of snapshot appends:
+
+- ``readStream`` over a parquet directory (every new file is a
+  micro-batch — the shape of an Iceberg/warehouse landing zone),
+- event-time watermark bounding aggregation state for late data,
+- tumbling ``window(ts, width)`` groupBy producing the SAME
+  (key..., bucket, n_points, v_sum, v_min, v_max) schema as the batch
+  base tier (operators/rollup._base_rollup), so every downstream
+  operator (cascade, retention, merge) is shared with batch,
+- ``update`` output mode + ``foreachBatch`` upsert into the snapshot
+  store: updated buckets REPLACE their previous rows, everything else is
+  carried forward — a continuous aggregate with replace-on-write
+  snapshots (read with ``storage.read_snapshot``),
+- checkpointed: re-running with the same checkpoint processes ONLY new
+  files (exactly-once per file), which the test exercises.
+
+Scale notes: state is bounded by (keys x active windows) thanks to the
+watermark; the upsert is a key-partitioned anti-join against the current
+snapshot — at 10^12 sequences the store would be an Iceberg MERGE, same
+plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DAY_US = 86_400_000_000.0
+
+
+def stream_base_rollup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    v_col: str = "value",
+    width_seconds: int = 86400,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Windowed streaming aggregation with the batch base-tier schema.
+
+    ``bucket`` is floor(epoch_micros / width) of the window start —
+    identical to the batch ``floor(t / width)`` bucketing, so streamed
+    and batch rollups are row-compatible."""
+    v = F.col(v_col)
+    win = F.window(F.col(ts_col), f"{width_seconds} seconds")
+    width_us = float(width_seconds) * 1e6
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, win.alias("_w"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(v).alias("v_sum"),
+            F.min(v).alias("v_min"),
+            F.max(v).alias("v_max"),
+        )
+        .select(
+            *keys,
+            F.floor(
+                F.unix_micros(F.col("_w.start").cast("timestamp")) / F.lit(width_us)
+            ).alias("bucket"),
+            "n_points",
+            "v_sum",
+            "v_min",
+            "v_max",
+        )
+    )
+
+
+def run_stream_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema,
+    storage,
+    table: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    v_col: str = "value",
+    width_seconds: int = 86400,
+    watermark: str = "2 days",
+) -> None:
+    """One ``availableNow`` pass: process every not-yet-seen file under
+    ``input_dir``, upserting updated buckets into ``storage``/``table``
+    (replace-on-write snapshots; read with ``read_snapshot``). Returns
+    after the trigger drains — a scheduler (or a long-lived query with a
+    processing-time trigger) calls this per arrival."""
+    keys = keys or ["user_id"]
+    src = spark.readStream.schema(input_schema).parquet(input_dir)
+    agg = stream_base_rollup(
+        src, keys, ts_col=ts_col, v_col=v_col,
+        width_seconds=width_seconds, watermark=watermark,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # update-mode batches carry the CURRENT value of every group
+        # updated in this micro-batch: replace those rows, keep the rest
+        updates = batch_df.persist()
+        try:
+            if updates.isEmpty():
+                return
+            try:
+                current = storage.read_snapshot(table)
+            except ValueError:
+                current = None
+            if current is None:
+                merged = updates
+            else:
+                merged = current.join(
+                    updates.select(*keys, "bucket"), [*keys, "bucket"], "left_anti"
+                ).unionByName(updates)
+            storage.append(merged, table)
+        finally:
+            updates.unpersist()
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(upsert)
+        .start()
+    )
+    q.awaitTermination()

@@ -63,3 +63,35 @@ def test_storage_snapshot_pinning(spark, tmp_path):
     storage.append(df2, "t")
     assert storage.read("t").count() == 8
     assert storage.read("t", as_of=s1).count() == 5  # VERSION AS OF semantics
+
+
+def test_iceberg_storage_contract_mocked():
+    """The Iceberg backend can't execute in this sandbox (no runtime
+    jar), so pin its append/read/snapshot contract against mocks: append
+    must writeTo().append() then fetch the newest snapshot id; read must
+    pin snapshot-id when as_of is given; current_snapshot of an empty
+    table is None."""
+    from unittest.mock import MagicMock
+
+    from light_curve_spark.sources.catalog import IcebergStorage
+
+    spark = MagicMock()
+    st = IcebergStorage(spark)
+    df = MagicMock()
+    spark.sql.return_value.head.return_value = [12345]
+    snap = st.append(df, "db.tbl", partition_by=["source"])
+    df.writeTo.assert_called_once_with("db.tbl")
+    df.writeTo.return_value.append.assert_called_once()
+    assert snap == "12345"
+    assert "db.tbl.snapshots" in spark.sql.call_args[0][0]
+
+    st.read("db.tbl", as_of="12345")
+    spark.read.format.assert_called_with("iceberg")
+    spark.read.format.return_value.option.assert_called_with(
+        "snapshot-id", "12345"
+    )
+    st.read("db.tbl")
+    spark.read.format.return_value.load.assert_called_with("db.tbl")
+
+    spark.sql.return_value.collect.return_value = []
+    assert st.current_snapshot("db.tbl") is None

@@ -464,3 +464,45 @@ def test_dmdt_kernel_matches_relational_with_tied_timestamps(spark):
         for r in dmdt_relational(s, **args).collect()
     }
     assert k == r and len(k) > 0
+
+
+def test_float32_input_path_cast_at_ingest(spark):
+    """f32 support (reference is generic over Float and tests f32 at tol
+    1e-6 — light-curve-common/src/linspace.rs:17-20): FloatType series
+    columns widen to double at ingest and the kernels agree with the f64
+    path within the f32 quantization of the inputs."""
+    import numpy as np
+    import pandas as pd
+
+    from light_curve_spark.operators.features import extract_features_grouped
+    from light_curve_spark.operators.gapfill import regrid_kernel
+    from light_curve_spark.operators.series import ensure_double_series
+
+    rng = np.random.default_rng(11)
+    t64 = np.sort(rng.uniform(0, 100, 60))
+    v64 = rng.uniform(-5, 5, 60)
+    pdf = pd.DataFrame({"doc_id": ["a"] * 60, "t": t64, "v": v64})
+    s64 = spark.createDataFrame(pdf)
+    s32 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a"] * 60,
+                "t": t64.astype(np.float32),
+                "v": v64.astype(np.float32),
+            }
+        ),
+        schema="doc_id string, t float, v float",
+    )
+    s32 = ensure_double_series(s32)
+    assert dict(s32.dtypes)["t"] == "double" and dict(s32.dtypes)["v"] == "double"
+
+    f64 = extract_features_grouped(s64).head().asDict()
+    f32 = extract_features_grouped(s32).head().asDict()
+    for k, a in f64.items():
+        if k == "doc_id":
+            continue
+        assert abs(a - f32[k]) < 1e-5, (k, a, f32[k])
+
+    g64 = regrid_kernel(s64, 0.0, 100.0, 11, keys=["doc_id"]).head().grid_v
+    g32 = regrid_kernel(s32, 0.0, 100.0, 11, keys=["doc_id"]).head().grid_v
+    assert max(abs(x - y) for x, y in zip(g64, g32)) < 1e-4
