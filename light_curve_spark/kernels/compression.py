@@ -26,10 +26,15 @@ Values (§4.1.2, one deliberate deviation):
     encoder a sequential state machine (the window only advances on '11'
     emissions), which cannot be expressed as vectorized numpy and would
     force a per-element Python loop — forbidden by input_hint ("no per-row
-    Python"). The explicit window costs at most 12 extra bits per *changed*
-    value and keeps encode O(n) vectorized; at 10^12 sequences the encode
-    throughput dominates the few-percent ratio loss. Round-trip exactness
-    (the actual correctness gate) is unaffected.
+    Python") — and is PATHOLOGICAL on sign-flipping data (one 64-bit
+    window poisons every subsequent fitting token; measured -258% on
+    smooth series, scripts/experiment_window_reuse.py). The engine's
+    answer to the reuse idea is the 'xor-blocked' codec
+    (:func:`encode_values_blocked`): one envelope window per BLOCK_K
+    nonzero tokens — window amortization WITHOUT sequential state,
+    measured 10-36% fewer bits than per-token windows on all tested
+    shapes, vectorized both directions. Round-trip exactness (the actual
+    correctness gate) holds for every codec.
 
 Both encoders are fully vectorized: per-element payloads are materialized
 as (hi, lo) uint64 pairs + bit lengths, then flattened to a bit array with
@@ -563,6 +568,104 @@ def encode_values_batch_columnar(values_list: list[np.ndarray]) -> list[bytes]:
     return out
 
 
+def encode_values_batch_blocked(values_list: list[np.ndarray]) -> list[bytes]:
+    """Batch blocked-window encode (see :func:`encode_values_blocked`):
+    MANY rows in one vectorized pass; byte-identical to the single-row
+    encoder (tested). Blocks never cross row boundaries."""
+    R = len(values_list)
+    if R == 0:
+        return []
+    arrs = [np.asarray(v, dtype=np.int64) for v in values_list]
+    lengths = np.fromiter((a.shape[0] for a in arrs), dtype=np.int64, count=R)
+    headers = []
+    for a, n in zip(arrs, lengths):
+        h = struct.pack("<I", int(n))
+        if n:
+            h += struct.pack("<Q", int(a[0].view(_U64)))
+        headers.append(h)
+    if (lengths <= 1).all():
+        return headers
+
+    flat = np.concatenate(arrs).view(_U64)
+    total = flat.shape[0]
+    starts = np.cumsum(lengths) - lengths
+    elem = np.repeat(np.arange(R), lengths)
+    prev = np.empty_like(flat)
+    prev[1:] = flat[:-1]
+    prev[0] = 0
+    xor = flat ^ prev
+    first = np.zeros(total, dtype=bool)
+    first[starts[lengths > 0]] = True
+    sel = ~first
+    xor_nf = xor[sel]
+    row_nf = elem[sel]
+    nonzero = xor_nf != 0
+
+    # section A: 1-bit control per token, row-aligned
+    buf_a, offs_a, len_a = _pack_varbits_rows(
+        np.zeros(xor_nf.shape[0], dtype=_U64),
+        nonzero.astype(_U64),
+        np.ones(xor_nf.shape[0], dtype=np.int64),
+        row_nf,
+        R,
+    )
+    nzi = np.flatnonzero(nonzero)
+    nz = xor_nf[nzi]
+    row_nz = row_nf[nzi]
+    m_per_row = np.bincount(row_nz, minlength=R).astype(np.int64)
+    if nz.size:
+        lead = _clz64(nz)
+        trail = _ctz64(nz)
+        # per-row block structure (BLOCK_K nonzeros per block, row-local)
+        nblocks_per_row = (m_per_row + BLOCK_K - 1) // BLOCK_K
+        row_tok_start = np.cumsum(m_per_row) - m_per_row
+        row_blk_start = np.cumsum(nblocks_per_row) - nblocks_per_row
+        blocks_row = np.repeat(np.arange(R), nblocks_per_row)
+        blk_in_row = np.arange(blocks_row.shape[0]) - row_blk_start[blocks_row]
+        block_first = row_tok_start[blocks_row] + blk_in_row * BLOCK_K
+        lead_env, trail_env, mlen_env = _block_envelopes(lead, trail, block_first)
+        window = (lead_env.astype(_U64) << _U64(6)) | (
+            mlen_env.astype(_U64) - _U64(1)
+        )
+        buf_b, offs_b, len_b = _pack_varbits_rows(
+            np.zeros(window.size, dtype=_U64),
+            window,
+            np.full(window.size, 12, dtype=np.int64),
+            blocks_row,
+            R,
+        )
+        idx_in_row = np.arange(nz.size) - row_tok_start[row_nz]
+        tok_block = row_blk_start[row_nz] + idx_in_row // BLOCK_K
+        meaningful = nz >> trail_env[tok_block].astype(_U64)
+        buf_c, offs_c, len_c = _pack_varbits_rows(
+            np.zeros(nz.size, dtype=_U64), meaningful, mlen_env[tok_block], row_nz, R
+        )
+    else:
+        buf_b = buf_c = b""
+        offs_b = offs_c = np.zeros(R, dtype=np.int64)
+        len_b = len_c = np.zeros(R, dtype=np.int64)
+
+    mv_a, mv_b, mv_c = memoryview(buf_a), memoryview(buf_b), memoryview(buf_c)
+    out = []
+    for r in range(R):
+        if lengths[r] <= 1:
+            out.append(headers[r])
+            continue
+        row = (
+            headers[r]
+            + struct.pack("<I", int(m_per_row[r]))
+            + bytes(mv_a[offs_a[r] : offs_a[r] + len_a[r]])
+        )
+        if m_per_row[r]:
+            row += (
+                struct.pack("<I", int(len_b[r]))
+                + bytes(mv_b[offs_b[r] : offs_b[r] + len_b[r]])
+                + bytes(mv_c[offs_c[r] : offs_c[r] + len_c[r]])
+            )
+        out.append(row)
+    return out
+
+
 def encode_values_columnar(v: np.ndarray) -> bytes:
     """Columnar layout of the same Gorilla XOR math: instead of the
     paper's interleaved token stream ('1' + window + meaningful per
@@ -613,6 +716,126 @@ def encode_values_columnar(v: np.ndarray) -> bytes:
         + sec_b
         + sec_c
     )
+
+
+BLOCK_K = 8  # nonzero tokens per shared-window block ('xor-blocked')
+
+
+def _block_envelopes(
+    lead: np.ndarray, trail: np.ndarray, block_first: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lead_env, trail_env, mlen_env) per block: the tightest window
+    containing every member token's meaningful bits (min lead, min
+    trail). block_first = index of each block's first token."""
+    lead_env = np.minimum.reduceat(lead, block_first)
+    trail_env = np.minimum.reduceat(trail, block_first)
+    mlen_env = np.maximum(64 - lead_env - trail_env, 1)
+    return lead_env, trail_env, mlen_env
+
+
+def encode_values_blocked(v: np.ndarray) -> bytes:
+    """Blocked-window variant of :func:`encode_values_columnar` — the
+    engine's answer to the paper's '10' window-reuse branch (Pelkonen
+    §4.1.2), measured in scripts/experiment_window_reuse.py:
+
+    The paper's rule reuses the window of the most recent explicit-window
+    token — an inherently SEQUENTIAL encoder decision (and pathological
+    on sign-flipping data: one 64-bit window poisons every subsequent
+    token that fits it). Instead, every block of BLOCK_K nonzero tokens
+    shares ONE 12-bit envelope window (min lead / min trail over the
+    block): the window section shrinks 8x for the cost of per-token
+    envelope slack — measured 10-36% fewer bits than per-token windows
+    on all four test shapes, fully vectorized both directions.
+
+        header:  n (u32 LE) + v0 (u64 LE)
+        m (u32): nonzero-xor count
+        A: control bitmap, 1 bit per xor token (1 = nonzero)
+        b_len (u32) + B: 12-bit envelope windows, one per ceil(m/8) block
+        C: meaningful bits w.r.t. the block envelope, mlen_env each
+    """
+    v = np.asarray(v)
+    if v.dtype != _U64:
+        v = v.astype(np.int64).view(_U64)
+    n = v.shape[0]
+    header = struct.pack("<I", n)
+    if n == 0:
+        return header
+    header += struct.pack("<Q", int(v[0]))
+    if n == 1:
+        return header
+    xor = v[1:] ^ v[:-1]
+    nonzero = xor != 0
+    bitmap = np.packbits(nonzero.astype(np.uint8)).tobytes()
+    nz = xor[nonzero]
+    m = nz.size
+    if m == 0:
+        return header + struct.pack("<I", 0) + bitmap
+    lead = _clz64(nz)
+    trail = _ctz64(nz)
+    block_first = np.arange(0, m, BLOCK_K, dtype=np.int64)
+    lead_env, trail_env, mlen_env = _block_envelopes(lead, trail, block_first)
+    window = (lead_env.astype(_U64) << _U64(6)) | (mlen_env.astype(_U64) - _U64(1))
+    sec_b = _pack_varbits(
+        np.zeros(window.size, dtype=_U64),
+        window,
+        np.full(window.size, 12, dtype=np.int64),
+    )
+    tok_block = np.arange(m, dtype=np.int64) // BLOCK_K
+    meaningful = nz >> trail_env[tok_block].astype(_U64)
+    sec_c = _pack_varbits(
+        np.zeros(m, dtype=_U64), meaningful, mlen_env[tok_block]
+    )
+    return (
+        header
+        + struct.pack("<I", m)
+        + bitmap
+        + struct.pack("<I", len(sec_b))
+        + sec_b
+        + sec_c
+    )
+
+
+def decode_values_blocked(buf: bytes) -> np.ndarray:
+    """Fully vectorized inverse of :func:`encode_values_blocked`."""
+    (n,) = struct.unpack_from("<I", buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    (v0,) = struct.unpack_from("<Q", buf, 4)
+    if n == 1:
+        return np.array([v0], dtype=_U64)
+    (m,) = struct.unpack_from("<I", buf, 12)
+    pos = 16
+    bitmap_len = (n - 1 + 7) // 8
+    nonzero = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8, count=bitmap_len, offset=pos)
+    )[: n - 1].astype(bool)
+    pos += bitmap_len
+    xors = np.zeros(n - 1, dtype=_U64)
+    if m:
+        (b_len,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        sec_b = buf[pos : pos + b_len]
+        pos += b_len
+        nblocks = (m + BLOCK_K - 1) // BLOCK_K
+        win = _extract_varbits(
+            sec_b,
+            np.arange(nblocks, dtype=np.int64) * 12,
+            np.full(nblocks, 12, dtype=np.int64),
+        )
+        lead_env = (win >> _U64(6)).astype(np.int64)
+        mlen_env = (win & _MASK6).astype(np.int64) + 1
+        trail_env = 64 - lead_env - mlen_env
+        tok_block = np.arange(m, dtype=np.int64) // BLOCK_K
+        mlen = mlen_env[tok_block]
+        offs = np.cumsum(mlen) - mlen
+        meaningful = _extract_varbits(buf[pos:], offs, mlen)
+        xors[nonzero] = meaningful << trail_env[tok_block].astype(_U64)
+    out = np.empty(n, dtype=_U64)
+    out[0] = v0
+    np.bitwise_xor.accumulate(
+        np.concatenate([np.array([v0], dtype=_U64), xors]), out=out
+    )
+    return out
 
 
 def _extract_varbits(buf: bytes, offsets: np.ndarray, lengths: np.ndarray) -> np.ndarray:

@@ -49,8 +49,10 @@ CHUNK_SCHEMA = StructType(
         StructField("ts_dod", BinaryType(), False),
         StructField("vals_gorilla", BinaryType(), False),
         StructField("checksum", LongType(), False),
-        # self-describing value codec: 'xor-columnar' (default; 9x faster
-        # vectorized decode) or 'xor-interleaved' (paper-faithful layout)
+        # self-describing value codec: 'xor-blocked' (default; block-
+        # envelope windows, ~30% smaller on token data, vectorized both
+        # ways), 'xor-columnar' (per-token windows), or 'xor-interleaved'
+        # (paper-faithful layout)
         StructField("codec", StringType(), False),
     ]
 )
@@ -100,7 +102,7 @@ def encode_chunks(
     seq: DataFrame,
     max_len: int = 4096,
     with_lineage: bool = False,
-    codec: str = "xor-columnar",
+    codec: str = "xor-blocked",
 ) -> DataFrame:
     """sequences -> chunk table. t_i is the global token position, so a
     chunk of a split outlier starts at chunk_no * max_len.
@@ -110,7 +112,7 @@ def encode_chunks(
     measured inside the same kernel pass — the pipeline aggregates them
     into the metrics table without a second scan.
     """
-    if codec not in ("xor-columnar", "xor-interleaved"):
+    if codec not in ("xor-columnar", "xor-interleaved", "xor-blocked"):
         raise ValueError(f"unknown codec {codec!r}")
     if "chunk_no" not in seq.columns:
         seq = chunk_outliers(seq, max_len=max_len)
@@ -133,14 +135,15 @@ def encode_chunks(
         from light_curve_spark.kernels.compression import (
             encode_timestamps_regular,
             encode_values_batch,
+            encode_values_batch_blocked,
             encode_values_batch_columnar,
         )
 
-        batch_encoder = (
-            encode_values_batch_columnar
-            if codec == "xor-columnar"
-            else encode_values_batch
-        )
+        batch_encoder = {
+            "xor-columnar": encode_values_batch_columnar,
+            "xor-blocked": encode_values_batch_blocked,
+            "xor-interleaved": encode_values_batch,
+        }[codec]
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
@@ -201,10 +204,14 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
     half of the per-row invariant."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from light_curve_spark.kernels.compression import decode_values_columnar
+        from light_curve_spark.kernels.compression import (
+            decode_values_blocked,
+            decode_values_columnar,
+        )
 
         decoders = {
             "xor-columnar": decode_values_columnar,
+            "xor-blocked": decode_values_blocked,
             "xor-interleaved": decode_values,
         }
         for pdf in batches:
