@@ -533,6 +533,8 @@ def q_periodogram_sequences(spark, sf_dir):
         "doc_id",
         _r6("pg_mean").alias("pg_mean"),
         _r6("pg_std").alias("pg_std"),
+        _r6("pg_skew").alias("pg_skew"),
+        _r6("pg_kurt").alias("pg_kurt"),
         _r6("pg_peak_freq").alias("pg_peak_freq"),
     )
 
@@ -1114,6 +1116,7 @@ def _raw_oracles() -> dict[str, str]:
         "periodogram_sequences": _fixture_sql(
             "periodogram_seq.parquet",
             "doc_id, round(pg_mean, 6) AS pg_mean, round(pg_std, 6) AS pg_std,"
+            " round(pg_skew, 6) AS pg_skew, round(pg_kurt, 6) AS pg_kurt,"
             " round(pg_peak_freq, 6) AS pg_peak_freq",
         ),
         "media_features": _fixture_sql(

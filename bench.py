@@ -76,11 +76,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # fresh operator caches per query; min-of-2 with a fresh plan per
-        # rep so the FIRST headline query doesn't eat JVM/Arrow/page-fault
-        # session warm-up (r1 verdict: rollup_tiers carried ~2x warm-up)
+        # fresh operator caches per query; min-of-3 with a fresh plan per
+        # rep: the first rep eats JVM/Arrow/page-fault warm-up (r1 verdict:
+        # rollup_tiers carried ~2x of it) and this host's intermittent CPU
+        # steal can inflate any single rep ~3x
         release_operator_caches()
-        timings[name] = _timed_min(lambda: _run(fn(spark, sf_dir)), reps=2)
+        timings[name] = _timed_min(lambda: _run(fn(spark, sf_dir)), reps=3)
     release_operator_caches()
 
     # sequences pipeline workload: features -> rollup cascade -> encode

@@ -97,6 +97,52 @@ def main() -> None:
         )
     )
 
+    # 6. simhash kernel: zero shuffle (docs scan -> JVM hash transform ->
+    # one mapInArrow bit-vote pass)
+    from light_curve_spark.operators.dedup import simhash_kernel
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan6 = formatted(simhash_kernel(docs))
+    sections.append(
+        ("SimHash kernel (single pass, zero shuffle: no Exchange)", plan6, [])
+    )
+    assert "Exchange" not in plan6, "simhash kernel must not shuffle"
+
+    # 7. fingerprint: zero shuffle, one mapInArrow pass over string buffers
+    from light_curve_spark.operators.text import fingerprint
+
+    plan7 = formatted(fingerprint(docs))
+    sections.append(
+        ("Winnowing fingerprint (segment-vectorized, zero shuffle)", plan7, [])
+    )
+    assert "Exchange" not in plan7, "fingerprint must not shuffle"
+
+    # 8. dmdt kernel: ONE key shuffle into collect_list, then mapInArrow
+    plan8 = formatted(e.q_dmdt_events_kernel(spark, SF))
+    sections.append(
+        (
+            "dm-dt kernel (collect_list + mapInArrow: one key exchange, "
+            "no per-group Python dispatch)",
+            plan8,
+            ["ObjectHashAggregate", "Exchange"],
+        )
+    )
+
+    # 9. ngram jaccard: pruned gram index persisted -> every consumer
+    # reads InMemoryTableScan instead of recomputing the n-gram build
+    plan9 = formatted(e.q_ngram_jaccard_documents(spark, SF))
+    sections.append(
+        (
+            "n-gram Jaccard (persisted inverted index: consumers hit "
+            "InMemoryTableScan, one gram construction total)",
+            plan9,
+            ["InMemoryTableScan"],
+        )
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+
+    release_operator_caches()
+
     lines = ["# PLANS — physical plan audit (generated by scripts/dump_plans.py)", ""]
     ok_all = True
     for title, plan, must in sections:

@@ -109,14 +109,24 @@ def export_sequences_and_periodogram(n_rows: int = 300, seed: int = 42) -> None:
             s = float(np.sum(d * np.sin(ph)))
             power[k] = c * c + s * s
         q = power / power.sum()
+        qmu, qsd = q.mean(), q.std(ddof=1)
+        z = (q - qmu) / qsd if qsd != 0.0 else np.zeros_like(q)
         pg_rows.append(
-            (doc_id, float(q.mean()), float(q.std(ddof=1)), float(freqs[np.argmax(power)]))
+            (
+                doc_id,
+                float(qmu),
+                float(qsd),
+                float(np.mean(z**3)),
+                float(np.mean(z**4) - 3.0),
+                float(freqs[np.argmax(power)]),
+            )
         )
     pd.DataFrame(seq_rows, columns=["doc_id", "n_tok"]).astype(
         {"n_tok": "int32"}
     ).to_parquet(os.path.join(OUT, "sequences_300.parquet"), index=False)
     pd.DataFrame(
-        pg_rows, columns=["doc_id", "pg_mean", "pg_std", "pg_peak_freq"]
+        pg_rows,
+        columns=["doc_id", "pg_mean", "pg_std", "pg_skew", "pg_kurt", "pg_peak_freq"],
     ).to_parquet(os.path.join(OUT, "periodogram_seq.parquet"), index=False)
 
 

@@ -357,24 +357,9 @@ def sequence_row_ref(row_id: int, seed: int = 42) -> tuple[str, int, list[int]]:
     return f"doc{row_id:08d}", n_tok, tokens
 
 
-def periodogram_moments_ref(
-    tokens: list[int], freqs: list[float]
-) -> tuple[float, float, float]:
-    """(pg_mean, pg_std, pg_peak_freq) — naive trig-sum periodogram over
-    v_i = float(token_i), t_i = i; see kernels/features periodogram
-    (normalized amplitude spectrum, sample-std over the freq axis)."""
-    n = len(tokens)
-    mu = sum(float(x) for x in tokens) / n
-    amps = []
-    for f in freqs:
-        w = 2.0 * math.pi * f
-        c = sum((tokens[i] - mu) * math.cos(w * i) for i in range(n))
-        s = sum((tokens[i] - mu) * math.sin(w * i) for i in range(n))
-        amps.append(math.sqrt(c * c + s * s) / n)
-    m = sum(amps) / len(amps)
-    var = sum((a - m) ** 2 for a in amps) / (len(amps) - 1)
-    peak = freqs[max(range(len(amps)), key=lambda i: amps[i])]
-    return m, math.sqrt(var), peak
+# periodogram moments are computed inline in export_oracle_fixtures.py
+# (plain per-doc numpy over the scalar-generated tokens — normalized
+# power q = P/sum(P), sample-std moments, peak frequency).
 
 
 # ---------------------------------------------------------------------------
