@@ -484,6 +484,19 @@ def q_lsh_ann_embeddings(spark, sf_dir):
     return out.select("vec_id", _r6("cosine").alias("cosine"))
 
 
+def q_ivf_ann_embeddings(spark, sf_dir):
+    """IVF-bucketed ANN (second scale path next to LSH): deterministic
+    train-on-sample centroids, zero-shuffle assignment, nprobe bucket
+    pruning, exact cosine inside candidates."""
+    from light_curve_spark.operators.similarity import ivf_ann_topk
+
+    out = ivf_ann_topk(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+        n_centroids=16, nprobe=4,
+    )
+    return out.select("vec_id", _r6("cosine").alias("cosine"))
+
+
 def q_embedding_pairs_exact(spark, sf_dir):
     from light_curve_spark.operators.similarity import embedding_cosine_pairs
 
@@ -622,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "cosine_topk_embeddings_kernel": q_cosine_topk_embeddings_kernel,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
+        "ivf_ann_embeddings": q_ivf_ann_embeddings,
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "embedding_pairs_lsh": q_embedding_pairs_lsh,
         "chunk_roundtrip_sequences": q_chunk_roundtrip_sequences,
@@ -1105,6 +1119,9 @@ def _raw_oracles() -> dict[str, str]:
         ),
         "lsh_ann_embeddings": _fixture_sql(
             "lsh_ann.parquet", "vec_id, round(cosine, 6) AS cosine"
+        ),
+        "ivf_ann_embeddings": _fixture_sql(
+            "ivf_ann.parquet", "vec_id, round(cosine, 6) AS cosine"
         ),
         "embedding_pairs_lsh": _fixture_sql(
             "embedding_pairs_lsh.parquet",

@@ -210,6 +210,95 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_size: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF centroid training (Lloyd iterations on a pinned
+    driver-side sample).
+
+    Production IVF trains centroids on a small sample and distributes
+    only the ASSIGNMENT — here the sample is the first ``sample_size``
+    vectors by id (deterministic across partitionings), members are
+    processed in id order, and empty clusters keep their previous
+    centroid, so the centroids are a pure function of the data: the
+    bucket column is reproducible cluster-wide and oracle-checkable.
+    O(sample * k * iters) on the driver — independent of table size."""
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    X = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    cents = X[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)  # first-min tie break
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if members.shape[0]:
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``_bucket`` = nearest-centroid index. One Arrow-batched
+    matvec pass (||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, argmin over the
+    small centroid matrix) — zero shuffle; at 100 TB the bucket becomes
+    the table's partition column so queries prune at the source."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    schema = StructType(list(emb.schema.fields) + [StructField("_bucket", LongType(), False)])
+    cols = emb.columns
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+            # -2 x.c + ||c||^2 (the ||x||^2 term is constant per row)
+            scores = -2.0 * (mat @ C.T) + cn[None, :]
+            pdf = pdf.copy()
+            pdf["_bucket"] = np.argmin(scores, axis=1).astype(np.int64)
+            yield pdf
+
+    return emb.select(*cols).mapInPandas(fn, schema=schema)
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    sample_size: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: scan only the ``nprobe`` buckets whose
+    centroids are nearest the query, exact cosine inside the candidates
+    (the second scale path next to :func:`lsh_ann_topk`; IVF adapts to
+    the data's cluster structure where LSH is data-oblivious)."""
+    cents = train_ivf_centroids(
+        emb, n_centroids=n_centroids, iters=iters,
+        sample_size=sample_size, id_col=id_col, vec_col=vec_col,
+    )
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    cand = ivf_assign(emb, cents, vec_col=vec_col).filter(
+        F.col("_bucket").isin(probe)
+    )
+    return cosine_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query: list[float],

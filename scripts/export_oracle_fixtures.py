@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from oracle_impl import (
     embedding_pairs_lsh_ref,
     fingerprint_ref,
+    ivf_ann_topk_ref,
     lsh_ann_topk_ref,
     media_row_ref,
     minhash_lsh_pairs_ref,
@@ -82,6 +83,14 @@ def export_lsh_ann(emb) -> None:
     pd.DataFrame(top, columns=["vec_id", "cosine"]).astype(
         {"vec_id": "int64", "cosine": "float64"}
     ).to_parquet(os.path.join(OUT, "lsh_ann.parquet"), index=False)
+
+
+def export_ivf_ann(emb) -> None:
+    query = dict(emb)[0]
+    top = ivf_ann_topk_ref(emb, query, k=10, n_centroids=16, nprobe=4)
+    pd.DataFrame(top, columns=["vec_id", "cosine"]).astype(
+        {"vec_id": "int64", "cosine": "float64"}
+    ).to_parquet(os.path.join(OUT, "ivf_ann.parquet"), index=False)
 
 
 def export_embedding_pairs_lsh(emb) -> None:
@@ -193,8 +202,9 @@ if __name__ == "__main__":
     export_fingerprint(docs)
     print("fingerprint done")
     export_lsh_ann(emb)
+    export_ivf_ann(emb)
     export_embedding_pairs_lsh(emb)
-    print("embedding LSH done")
+    print("embedding LSH/IVF done")
     export_sequences_and_periodogram()
     print("sequences/periodogram done")
     export_media()

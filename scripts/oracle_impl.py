@@ -357,6 +357,47 @@ def sequence_row_ref(row_id: int, seed: int = 42) -> tuple[str, int, list[int]]:
     return f"doc{row_id:08d}", n_tok, tokens
 
 
+def ivf_ann_topk_ref(
+    embeddings: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    sample_size: int = 512,
+) -> list[tuple[int, float]]:
+    """operators/similarity.ivf_ann_topk spec, naive loops except the
+    centroid means (np.mean over id-ordered members — the spec pins this
+    exact reduction so buckets are reproducible)."""
+    import numpy as np
+
+    ordered = sorted(embeddings)[:sample_size]
+    X = np.array([v for _, v in ordered], dtype=np.float64)
+    cents = X[:n_centroids].copy()
+    for _ in range(iters):
+        groups: dict[int, list[np.ndarray]] = {}
+        for row in X:
+            best_c, best_d = 0, None
+            for c in range(n_centroids):
+                d = float(((row - cents[c]) ** 2).sum())
+                if best_d is None or d < best_d:
+                    best_c, best_d = c, d
+            groups.setdefault(best_c, []).append(row)
+        for c, members in groups.items():
+            cents[c] = np.stack(members).mean(axis=0)
+    q = np.asarray(query, dtype=np.float64)
+    dq = [float(((cents[c] - q) ** 2).sum()) for c in range(n_centroids)]
+    probe = set(sorted(range(n_centroids), key=lambda c: (dq[c], c))[:nprobe])
+    scored = []
+    for vid, vec in embeddings:
+        row = np.asarray(vec, dtype=np.float64)
+        scores = -2.0 * (cents @ row) + (cents * cents).sum(axis=1)
+        if int(np.argmin(scores)) in probe:
+            scored.append((vid, cosine_ref(vec, query)))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return scored[:k]
+
+
 # periodogram moments are computed inline in export_oracle_fixtures.py
 # (plain per-doc numpy over the scalar-generated tokens — normalized
 # power q = P/sum(P), sample-std moments, peak frequency).

@@ -262,3 +262,26 @@ def test_simhash_kernel_matches_expression_twin(spark, docs):
     }
     kern = {r.doc_id: r.sh for r in simhash_kernel(docs).collect()}
     assert expr == kern
+
+
+def test_ivf_ann_recall_and_partition_independence(spark, sf_dir):
+    """IVF ANN: nprobe buckets must recover most of the exact top-k, and
+    the bucketing must not depend on partitioning (deterministic
+    train-on-sample centroids)."""
+    from light_curve_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_ann_topk(emb, q, k=10, n_centroids=8, nprobe=3).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 6  # recall over 3/8 buckets
+    again = [
+        r.vec_id
+        for r in ivf_ann_topk(
+            emb.repartition(7), q, k=10, n_centroids=8, nprobe=3
+        ).collect()
+    ]
+    assert approx == again
