@@ -18,13 +18,17 @@ What this package DOES provide:
 - a REAL Structured Streaming twin (streaming/structured.py) for
   event-stream deployments: readStream + watermark + tumbling window in
   the batch base-tier schema, update-mode foreachBatch upsert into the
-  snapshot store, checkpointed exactly-once-per-file resume.
+  snapshot store, checkpointed exactly-once-per-file resume;
+- a custom stateful operator (applyInPandasWithState): per-key lifetime
+  totals in the state store, surviving restarts via the checkpoint
+  (streaming/structured.stream_stateful_totals).
 """
 
 from light_curve_spark.streaming.incremental import incremental_rollup, merge_rollups
 from light_curve_spark.streaming.structured import (
     run_stream_rollup,
     stream_base_rollup,
+    stream_stateful_totals,
 )
 
 __all__ = [
@@ -32,4 +36,5 @@ __all__ = [
     "merge_rollups",
     "run_stream_rollup",
     "stream_base_rollup",
+    "stream_stateful_totals",
 ]

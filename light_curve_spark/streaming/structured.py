@@ -71,6 +71,73 @@ def stream_base_rollup(
     )
 
 
+def stream_stateful_totals(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    v_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key LIFETIME totals (n, sum, min, max) maintained in the state
+    store across micro-batches — the shape for aggregates that outlive
+    any window (e.g. a per-user all-time rollup row updated per batch).
+
+    Each micro-batch emits one row per updated key with the totals SO
+    FAR; state survives restarts through the query checkpoint (tested
+    across two availableNow runs). Complements the watermarked window agg
+    in :func:`stream_base_rollup`, which bounds state by active windows;
+    here state is bounded by the key cardinality instead."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    keys = keys or ["user_id"]
+    key_fields = [stream.schema[k] for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n_points", LongType(), False),
+            StructField("v_sum", DoubleType(), True),
+            StructField("v_min", DoubleType(), True),
+            StructField("v_max", DoubleType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("s", DoubleType(), True),
+            StructField("mn", DoubleType(), True),
+            StructField("mx", DoubleType(), True),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n, s, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            v = pdf[v_col].dropna()
+            if v.empty:
+                continue
+            n += int(v.shape[0])
+            s += float(v.sum())
+            bmn, bmx = float(v.min()), float(v.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, s, mn, mx))
+        yield pd.DataFrame(
+            [dict(zip([k.name for k in key_fields], key))
+             | {"n_points": n, "v_sum": s, "v_min": mn, "v_max": mx}]
+        )
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_rollup(
     spark: SparkSession,
     input_dir: str,

@@ -129,3 +129,67 @@ def test_stream_base_rollup_schema_matches_batch(spark):
         "v_max",
     ]
     assert agg.isStreaming
+
+
+def test_stream_stateful_totals_resume(spark, tmp_path):
+    """applyInPandasWithState lifetime totals: state must carry across
+    micro-batches AND across availableNow runs (checkpoint restore), and
+    the final emitted totals must equal the batch aggregate."""
+    import pyspark.sql.functions as SF
+
+    from light_curve_spark.streaming.structured import stream_stateful_totals
+
+    inp = str(tmp_path / "incoming2")
+    ckpt = str(tmp_path / "ckpt2")
+    out_dir = str(tmp_path / "totals")
+    os.makedirs(inp, exist_ok=True)
+
+    def run_once():
+        src = spark.readStream.schema(SCHEMA).parquet(inp)
+        totals = stream_stateful_totals(src, keys=["user_id"])
+        # parquet sinks reject update mode -> foreachBatch append
+        q = (
+            totals.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_file(
+        spark,
+        inp,
+        [
+            (1, "2024-01-01 01:00:00", 10.0),
+            (1, "2024-01-01 02:00:00", 30.0),
+            (2, "2024-01-01 03:00:00", 5.0),
+        ],
+    )
+    run_once()
+    _write_file(spark, inp, [(1, "2024-02-01 00:00:00", 2.0)])
+    run_once()
+
+    # latest emitted row per user must equal the batch lifetime aggregate
+    emitted = spark.read.parquet(out_dir)
+    latest = {
+        r.user_id: (r.n_points, r.v_sum, r.v_min, r.v_max)
+        for r in emitted.orderBy("n_points").collect()  # later rows overwrite
+    }
+    batch = {
+        r.user_id: (r.n, r.s, r.mn, r.mx)
+        for r in spark.read.schema(SCHEMA)
+        .parquet(inp)
+        .groupBy("user_id")
+        .agg(
+            SF.count("value").alias("n"),
+            SF.sum("value").alias("s"),
+            SF.min("value").alias("mn"),
+            SF.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert latest == batch
+    assert latest[1] == (3, 42.0, 2.0, 30.0)  # state crossed the restart
