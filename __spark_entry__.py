@@ -429,7 +429,9 @@ def q_minhash_lsh_documents(spark, sf_dir):
 def q_simhash_documents(spark, sf_dir):
     from light_curve_spark.operators.dedup import simhash_dedup
 
-    return simhash_dedup(_docs(spark, sf_dir)).filter(F.col("hamming") <= 8)
+    # max_hamming inside the operator: the filter runs BEFORE the pair
+    # dedup, keeping far-apart band collisions out of the shuffle
+    return simhash_dedup(_docs(spark, sf_dir), max_hamming=8)
 
 
 def q_language_id_documents(spark, sf_dir):

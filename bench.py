@@ -35,6 +35,8 @@ HEADLINE = [
     "cosine_topk_embeddings",
     "ngram_jaccard_documents",
     "minhash_lsh_documents",
+    "simhash_documents",
+    "fingerprint_documents",
     "token_count_documents",
 ]
 

@@ -314,12 +314,23 @@ def simhash_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_dedup(
-    docs: DataFrame, band_bits: int = 16, text_col: str = "text"
+    docs: DataFrame,
+    band_bits: int = 16,
+    text_col: str = "text",
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates by SimHash: documents sharing any of the four
     16-bit bands of their 64-bit simhash (standard Hamming-distance
-    blocking). Returns (doc_a, doc_b, hamming)."""
-    sh = simhash_kernel(docs, text_col)
+    blocking). Returns (doc_a, doc_b, hamming). ``max_hamming`` filters
+    BEFORE the pair dedup — hamming is a pure function of the pair, so
+    this is semantically the same as filtering after, but Catalyst can't
+    push a filter below dropDuplicates itself, and filtering first keeps
+    far-apart band collisions out of the dedup shuffle."""
+    # persist the (doc_id, sh) table: both sides of the band self-join
+    # consume it — uncached, the text normalization + word hashing +
+    # bit-vote kernel would run twice (and inherit however few input
+    # splits the source has; the cache read re-parallelizes downstream)
+    sh = cached(simhash_kernel(docs, text_col))
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sh.select(
@@ -342,17 +353,16 @@ def simhash_dedup(
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        hamming.alias("hamming"),
     )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs.dropDuplicates(["doc_a", "doc_b"])
