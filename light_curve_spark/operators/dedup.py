@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from light_curve_spark.plans.caching import cached
+from light_curve_spark.plans.salting import ensure_min_splits
 
 
 def _norm_text(col: str = "text") -> F.Column:
@@ -95,16 +96,20 @@ def ngram_jaccard_pairs(
     then shuffle 8-byte keys instead of ~n-word strings (~3x less
     shuffle traffic; identical Jaccard up to a ~|grams|^2/2^64 collision
     probability — the same equivalence minhash verification uses)."""
-    grams = docs.select(
+    grams = ensure_min_splits(docs).select(
         "doc_id",
         F.explode(
             F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
         ).alias("gram"),
     )
-    grams = grams.join(
-        grams.groupBy("gram").count().filter(F.col("count") <= max_df).select("gram"),
-        "gram",
+    # prune via broadcast ANTI-join against the HIGH-df grams: their
+    # count is provably <= total_gram_instances / max_df (pigeonhole),
+    # so the broadcast is always tiny and the gram table itself never
+    # shuffles for pruning (vs. equi-joining the huge low-df set)
+    high_df = (
+        grams.groupBy("gram").count().filter(F.col("count") > max_df).select("gram")
     )
+    grams = grams.join(F.broadcast(high_df), "gram", "left_anti")
     # persist the pruned inverted index: it feeds the per-doc sizes AND
     # both sides of the self-join — without this, Catalyst recomputes the
     # normalize+split+zip_with n-gram construction ~3x (3 corpus scans at
@@ -171,7 +176,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # hash every gram string exactly once; everything downstream
     # (signatures, banding, verification) runs on int64
-    with_sig = docs.select(
+    with_sig = ensure_min_splits(docs).select(
         "doc_id",
         F.array_distinct(
             F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
@@ -275,7 +280,7 @@ def simhash_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     import pyarrow as pa
 
     words = F.split(_norm_text(text_col), " ")
-    hashed = docs.select(
+    hashed = ensure_min_splits(docs).select(
         "doc_id", F.transform(words, lambda w: F.xxhash64(w)).alias("_h")
     )
     out_schema = StructType(

@@ -201,7 +201,11 @@ def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) -> Dat
                 ["doc_id", "fingerprint"],
             )
 
-    return docs.select("doc_id", text_col).mapInArrow(fn, schema=FINGERPRINT_SCHEMA)
+    from light_curve_spark.plans.salting import ensure_min_splits
+
+    return ensure_min_splits(docs.select("doc_id", text_col)).mapInArrow(
+        fn, schema=FINGERPRINT_SCHEMA
+    )
 
 
 def fingerprint_scalar(text: str, window: int = 8) -> int:

@@ -52,3 +52,18 @@ def weighted_salted_repartition(
     downstream regroups by the salt."""
     salt = F.pmod(F.hash("doc_id", F.lit("wsalt")), F.lit(salt_domain))
     return seq.repartition(num_partitions, salt)
+
+
+def ensure_min_splits(df, min_partitions: int | None = None):
+    """Round-robin repartition ONLY when the upstream has fewer splits
+    than the session's parallelism — e.g. a single-row-group parquet
+    file, which Spark cannot split below row-group granularity, so every
+    downstream map stage would run as one task. A no-op whenever the
+    source is already parallel (the normal case at scale — forcing an
+    unconditional repartition would add a pointless full shuffle there).
+    Use on per-row map pipelines only (round-robin is order-free)."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

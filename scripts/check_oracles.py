@@ -90,6 +90,14 @@ def main() -> int:
             if len(sdf) == 0:
                 print(f"  WARNING: {name} returned 0 rows")
             continue
+        if "fixtures/oracle" in oracles[name] and not sf_dir.rstrip("/").endswith(
+            "sf0.01"
+        ):
+            # fixture oracles are materialized over the sf0.01 tables
+            # (the driver's correctness-gate scale) — at other scales the
+            # query still runs (rows reported) but values can't compare
+            print(f"SKIP {name}: fixture oracle bound to sf0.01 ({len(sdf)} rows ran)")
+            continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
