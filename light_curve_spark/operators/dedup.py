@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from light_curve_spark.functions import hamming64, jaccard_arrays
 from light_curve_spark.plans.caching import cached
 from light_curve_spark.plans.salting import ensure_min_splits
 
@@ -234,10 +235,8 @@ def minhash_lsh_pairs(
         ),
         "doc_b",
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size("grams_a") + F.size("grams_b") - inter
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.withColumn("jaccard", jaccard_arrays("grams_a", "grams_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -357,7 +356,7 @@ def simhash_dedup(
     ).select("doc_id", "sh", "band.band_id", "band.band_val")
     a = banded.alias("a")
     b = banded.alias("b")
-    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    hamming = hamming64(F.col("a.sh"), F.col("b.sh"))
     pairs = a.join(
         b,
         (F.col("a.band_id") == F.col("b.band_id"))

@@ -23,12 +23,14 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from light_curve_spark.functions import bucketize
+
 ROLLUP_AGG_COLS = ("n_points", "v_sum", "v_min", "v_max")
 
 
 def _base_rollup(series: DataFrame, keys: list[str], width: float) -> DataFrame:
     return series.groupBy(
-        *keys, F.floor(F.col("t") / F.lit(width)).alias("bucket")
+        *keys, bucketize("t", width).alias("bucket")
     ).agg(
         F.count("v").alias("n_points"),
         F.sum("v").alias("v_sum"),
@@ -225,7 +227,7 @@ def rollup_quantiles(
     out = None
     for t in tiers:
         bucketed = series.withColumn(
-            "bucket", F.floor(F.col("t") / F.lit(base_width * t))
+            "bucket", bucketize("t", base_width * t)
         )
         med = bucketed.groupBy(*keys, "bucket").agg(F.median("v").alias("v_median"))
         mad = (

@@ -26,27 +26,20 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from light_curve_spark.functions import as_double_array, dot, l2_norm
 
-def _f64(col: str) -> F.Column:
-    # embeddings are float32 on disk; promote BEFORE multiplying so the
-    # products accumulate in f64 (float*float would square in f32 and the
-    # 1e-7 relative error survives into the cosine)
-    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+# embeddings are float32 on disk; promote BEFORE multiplying so the
+# products accumulate in f64 (f32*f32 squares the quantization error) —
+# the shared column functions handle the promotion
+_f64 = as_double_array
 
 
 def _dot_expr(col: str, qvec: list[float]) -> F.Column:
-    q = F.array(*[F.lit(float(x)) for x in qvec])
-    return F.aggregate(
-        F.zip_with(_f64(col), q, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    return dot(col, F.array(*[F.lit(float(x)) for x in qvec]))
 
 
-def _norm_expr(col: str) -> F.Column:
-    return F.sqrt(
-        F.aggregate(_f64(col), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+_norm_expr = l2_norm
 
 
 def cosine_topk(

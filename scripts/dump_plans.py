@@ -97,25 +97,31 @@ def main() -> None:
         )
     )
 
-    # 6. simhash kernel: zero shuffle (docs scan -> JVM hash transform ->
-    # one mapInArrow bit-vote pass)
+    # 6. simhash kernel: adds ZERO shuffle of its own (docs scan -> JVM
+    # hash transform -> one mapInArrow bit-vote pass). The input here is
+    # pre-parallelized so ensure_min_splits' unsplittable-source rescue
+    # (a round-robin Exchange when the source has 1 row group) is a no-op
+    # — asserted by comparing Exchange counts against the bare input.
     from light_curve_spark.operators.dedup import simhash_kernel
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan6 = formatted(simhash_kernel(docs))
+    docs_par = docs.repartition(2)
+    base_ex = formatted(docs_par).count("Exchange")
+    plan6 = formatted(simhash_kernel(docs_par))
     sections.append(
-        ("SimHash kernel (single pass, zero shuffle: no Exchange)", plan6, [])
+        ("SimHash kernel (single pass, no kernel-added Exchange)", plan6, [])
     )
-    assert "Exchange" not in plan6, "simhash kernel must not shuffle"
+    assert plan6.count("Exchange") == base_ex, "simhash kernel must not shuffle"
 
-    # 7. fingerprint: zero shuffle, one mapInArrow pass over string buffers
+    # 7. fingerprint: same zero-added-shuffle property
     from light_curve_spark.operators.text import fingerprint
 
-    plan7 = formatted(fingerprint(docs))
+    plan7 = formatted(fingerprint(docs_par))
     sections.append(
-        ("Winnowing fingerprint (segment-vectorized, zero shuffle)", plan7, [])
+        ("Winnowing fingerprint (segment-vectorized, no kernel-added Exchange)",
+         plan7, [])
     )
-    assert "Exchange" not in plan7, "fingerprint must not shuffle"
+    assert plan7.count("Exchange") == base_ex, "fingerprint must not shuffle"
 
     # 8. dmdt kernel: ONE key shuffle into collect_list, then mapInArrow
     plan8 = formatted(e.q_dmdt_events_kernel(spark, SF))
@@ -136,7 +142,7 @@ def main() -> None:
             "n-gram Jaccard (persisted inverted index: consumers hit "
             "InMemoryTableScan, one gram construction total)",
             plan9,
-            ["InMemoryTableScan"],
+            ["InMemoryTableScan", "BroadcastHashJoin LeftAnti"],
         )
     )
     from light_curve_spark.plans.caching import release_operator_caches
