@@ -72,8 +72,34 @@ def export_ztf_curve() -> None:
     ).to_parquet(os.path.join(OUT, "ztf_bench_curve.parquet"))
 
 
+def export_rollup_golden(n_rows: int = 300, seed: int = 42) -> None:
+    """FIXTURES.md §4: committed rollup-tier golden over the synthetic
+    sequences (scalar re-derivation, scripts/oracle_impl.py). Integer-
+    valued tokens make every bucket sum exact in f64, so engine output
+    must BIT-match (north_star), not just round-trip a tolerance."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from oracle_impl import rollup_tiers_ref, sequence_row_ref, sequence_source_ref
+
+    rows = []
+    for rid in range(n_rows):
+        doc_id, _, tokens = sequence_row_ref(rid, seed)
+        source = sequence_source_ref(rid, seed)
+        for tier, b, n, s, mn, mx, mean in rollup_tiers_ref(tokens):
+            rows.append((doc_id, source, tier, b, n, s, mn, mx, mean))
+    pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "source", "tier", "bucket",
+            "n_points", "v_sum", "v_min", "v_max", "v_mean",
+        ],
+    ).astype({"tier": "int32", "bucket": "int64", "n_points": "int64"}).to_parquet(
+        os.path.join(OUT, "rollup_tiers_golden.parquet"), index=False
+    )
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     export_interp_cases()
     export_ztf_curve()
+    export_rollup_golden()
     print("fixtures written to", OUT)

@@ -357,6 +357,39 @@ def sequence_row_ref(row_id: int, seed: int = 42) -> tuple[str, int, list[int]]:
     return f"doc{row_id:08d}", n_tok, tokens
 
 
+def sequence_source_ref(row_id: int, seed: int = 42) -> str:
+    """source column for one row — row_fields' skewed categorical."""
+    u = (splitmix64((row_id * 3 + 1 + seed) & MASK64) >> 11) / float(1 << 53)
+    for name, hi in (("web", 0.70), ("code", 0.85), ("books", 0.95)):
+        if u < hi:
+            return name
+    return "wiki"
+
+
+def rollup_tiers_ref(
+    tokens: list[int], base_width: int = 16, tiers=(1, 10, 100)
+) -> list[tuple[int, int, int, float, float, float, float]]:
+    """(tier, bucket, n_points, v_sum, v_min, v_max, v_mean) rows for one
+    sequence — scalar re-derivation of the tier cascade. Token values are
+    integer-valued in f64, so bucket sums are EXACT regardless of
+    summation order: the committed golden is bit-comparable against any
+    engine evaluation order (the north_star bit-match gate)."""
+    out = []
+    for tier in tiers:
+        width = base_width * tier
+        buckets: dict[int, list[float]] = {}
+        for pos, tok in enumerate(tokens):
+            buckets.setdefault(pos // width, []).append(float(tok))
+        for b, vals in sorted(buckets.items()):
+            s = 0.0
+            for v in vals:
+                s += v
+            out.append(
+                (tier, b, len(vals), s, min(vals), max(vals), s / len(vals))
+            )
+    return out
+
+
 def ivf_ann_topk_ref(
     embeddings: list[tuple[int, list[float]]],
     query: list[float],
