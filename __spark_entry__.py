@@ -583,9 +583,11 @@ def q_validate_events(spark, sf_dir):
     event_id), then report reject counts by reason plus the clean count."""
     from light_curve_spark.operators.validate import validate_series
 
+    from light_curve_spark.functions import epoch_us
+
     _utc(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    t = F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+    t = epoch_us("ts")
     corrupted = ev.select(
         "user_id",
         F.when(F.col("event_id") % 101 == 3, F.lit(None).cast("double"))

@@ -294,16 +294,25 @@ def simhash_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
             h = b.column(b.schema.get_field_index("_h"))
             off = h.offsets.to_numpy()
             lengths = (off[1:] - off[:-1]).astype(np.int64)
+            if h.null_count:
+                # null-text docs: zero-length segments (offsets may span
+                # stale values in exotic producers; force 0 so segment
+                # starts stay in sync with the flat buffer)
+                lengths = np.where(np.asarray(h.is_valid()), lengths, 0)
             starts = np.cumsum(lengths) - lengths
             flat = h.flatten().to_numpy().astype(np.int64).view(np.uint64)
-            # bit matrix (words x 64, int32) -> per-doc set-bit counts
-            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-            # reduceat needs in-range indices; empty segments fixed below
-            idx = np.minimum(starts, max(flat.shape[0] - 1, 0))
-            cnt = np.add.reduceat(bits, idx, axis=0) if flat.size else np.zeros(
-                (lengths.shape[0], 64), dtype=np.int32
-            )
-            # vote for bit i: (+1 per set, -1 per unset) > 0  <=>  2*cnt > n
+            # bit matrix (words x 64, int32) -> per-doc set-bit counts.
+            # A zero sentinel row keeps every reduceat index in range
+            # WITHOUT clamping: clamping an empty trailing segment's start
+            # would truncate the PREVIOUS doc's segment (r2 review find).
+            bits = np.zeros((flat.shape[0] + 1, 64), dtype=np.int32)
+            bits[:-1] = (flat[:, None] >> shifts) & np.uint64(1)
+            cnt = np.add.reduceat(bits, starts, axis=0)
+            # vote for bit i: (+1 per set, -1 per unset) > 0  <=>  2*cnt > n.
+            # Null/empty docs get sh = 0 — EXACTLY the expression twin's
+            # value (its per-bit when(NULL > 0, bit).otherwise(0) coerces
+            # a null aggregate to 0), so kernel/expression parity holds
+            # on null-text corpora too (pytest-asserted).
             votes = (2 * cnt.astype(np.int64)) > lengths[:, None]
             votes[lengths == 0] = False
             sh = (votes.astype(np.uint64) << shifts).sum(

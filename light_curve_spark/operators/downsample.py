@@ -18,7 +18,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-from light_curve_spark.kernels.sorting import cosort
 
 
 def lttb(t: np.ndarray, v: np.ndarray, n_out: int) -> tuple[np.ndarray, np.ndarray]:
@@ -63,8 +62,12 @@ def downsample_lttb(
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         t = pdf["t"].to_numpy(dtype=np.float64)
         v = pdf["v"].to_numpy(dtype=np.float64)
-        t, v = cosort(t, v)
-        td, vd = lttb(t, v, n_out)
+        # (t, v) lexsort, NOT stable-by-t-only cosort: with duplicate
+        # timestamps the stable order would be partition-arrival order,
+        # making the SELECTED points flicker across runs (the same
+        # nondeterminism class fixed in asof/interpolate this round)
+        order = np.lexsort((v, t))
+        td, vd = lttb(t[order], v[order], n_out)
         return pd.DataFrame({**dict(zip(keys, key)), "t_ds": [td], "v_ds": [vd]})
 
     return series.groupBy(*keys).applyInPandas(fn, schema=schema)

@@ -246,7 +246,6 @@ def ivf_assign(
     from pyspark.sql.types import LongType, StructField, StructType
 
     C = np.asarray(centroids, dtype=np.float64)
-    cn = (C * C).sum(axis=1)
     schema = StructType(list(emb.schema.fields) + [StructField("_bucket", LongType(), False)])
     cols = emb.columns
 
@@ -255,10 +254,19 @@ def ivf_assign(
             if pdf.shape[0] == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_list()).astype(np.float64)
-            # -2 x.c + ||c||^2 (the ||x||^2 term is constant per row)
-            scores = -2.0 * (mat @ C.T) + cn[None, :]
+            # squared-distance broadcast form, row-chunked to bound the
+            # (chunk, k, dim) temporary. Deliberately NOT the dgemm
+            # "-2 x.C^T + ||c||^2" form: BLAS gemm/gemv summation orders
+            # are shape/thread-dependent, while this reduces the same
+            # contiguous last axis as the trainer and the pure-Python
+            # fixture oracle — near-tied argmins stay bit-reproducible.
+            buckets = np.empty(mat.shape[0], dtype=np.int64)
+            for s in range(0, mat.shape[0], 4096):
+                blk = mat[s : s + 4096]
+                d2 = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                buckets[s : s + blk.shape[0]] = np.argmin(d2, axis=1)
             pdf = pdf.copy()
-            pdf["_bucket"] = np.argmin(scores, axis=1).astype(np.int64)
+            pdf["_bucket"] = buckets
             yield pdf
 
     return emb.select(*cols).mapInPandas(fn, schema=schema)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DAY_US = 86_400_000_000.0
+from light_curve_spark.functions import bucketize, epoch_us
 
 
 def stream_base_rollup(
@@ -60,9 +60,7 @@ def stream_base_rollup(
         )
         .select(
             *keys,
-            F.floor(
-                F.unix_micros(F.col("_w.start").cast("timestamp")) / F.lit(width_us)
-            ).alias("bucket"),
+            bucketize(epoch_us(F.col("_w.start")), width_us).alias("bucket"),
             "n_points",
             "v_sum",
             "v_min",

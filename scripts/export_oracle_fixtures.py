@@ -180,9 +180,12 @@ def export_lttb_events(sf_dir: str, n_out: int = 40) -> None:
     tbl["t"] = tbl["ts"].astype("datetime64[us]").astype("int64").astype("float64")
     out = []
     for uid, g in tbl.groupby("user_id"):
-        order = np.argsort(g["t"].to_numpy(), kind="stable")
-        t = g["t"].to_numpy()[order]
-        v = g["value"].to_numpy()[order]
+        # (t, v) lexsort — mirrors operators/downsample's deterministic
+        # duplicate-timestamp tie order
+        tv, vv = g["t"].to_numpy(), g["value"].to_numpy()
+        order = np.lexsort((vv, tv))
+        t = tv[order]
+        v = vv[order]
         td, vd = _lttb_ref(t, v, n_out)
         out.append(pd.DataFrame({"user_id": uid, "t": td, "v": vd}))
     pd.concat(out).astype({"user_id": "int64"}).to_parquet(

@@ -424,8 +424,10 @@ def ivf_ann_topk_ref(
     scored = []
     for vid, vec in embeddings:
         row = np.asarray(vec, dtype=np.float64)
-        scores = -2.0 * (cents @ row) + (cents * cents).sum(axis=1)
-        if int(np.argmin(scores)) in probe:
+        # same squared-distance reduction (contiguous last axis) as
+        # ivf_assign/train — no BLAS gemm/gemv order dependence
+        d2 = ((row[None, :] - cents) ** 2).sum(axis=1)
+        if int(np.argmin(d2)) in probe:
             scored.append((vid, cosine_ref(vec, query)))
     scored.sort(key=lambda r: (-r[1], r[0]))
     return scored[:k]

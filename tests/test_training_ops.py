@@ -285,3 +285,52 @@ def test_ivf_ann_recall_and_partition_independence(spark, sf_dir):
         ).collect()
     ]
     assert approx == again
+
+
+def test_simhash_kernel_null_text_and_trailing_empty_segment(spark):
+    """r2 review findings: (a) a null-text doc LAST in a batch must not
+    truncate the previous doc's bit votes (the reduceat clamp bug);
+    (b) null texts propagate NULL sh, matching the expression twin."""
+    import pandas as pd
+
+    from light_curve_spark.operators.dedup import simhash, simhash_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta gamma", None, "delta epsilon", None],
+        }
+    )
+    docs = spark.createDataFrame(pdf, schema="doc_id long, text string").coalesce(1)
+    kern = {r.doc_id: r.sh for r in simhash_kernel(docs).collect()}
+    expr = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash().alias("sh")).collect()
+    }
+    assert kern == expr
+    assert kern[1] == 0 and kern[3] == 0  # twin's when/otherwise coerces null -> 0
+    # doc 0's hash must equal its solo-batch hash (no truncation)
+    solo = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma"]}),
+        schema="doc_id long, text string",
+    )
+    assert simhash_kernel(solo).head().sh == kern[0]
+
+
+def test_downsample_lttb_duplicate_timestamp_determinism(spark):
+    """Duplicate timestamps must not make the selected points depend on
+    partition arrival order (r2 review finding): (t, v) lexsort pins it."""
+    import pandas as pd
+
+    from light_curve_spark.operators.downsample import downsample_lttb
+
+    rng_rows = [(float(i // 2), float((i * 37) % 11)) for i in range(40)]
+    pdf = pd.DataFrame(
+        {"doc_id": ["a"] * 40, "t": [r[0] for r in rng_rows], "v": [r[1] for r in rng_rows]}
+    )
+    outs = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        row = downsample_lttb(df, n_out=10, keys=["doc_id"]).head()
+        outs.append((list(row.t_ds), list(row.v_ds)))
+    assert outs[0] == outs[1]
