@@ -44,6 +44,12 @@ def build_session(
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # local mode runs driver + all executor threads in ONE JVM whose
+        # default heap is 1g — enough for unit tests, an OOM at bench
+        # scale (found at 500k sequences / 150M tokens). Sized via env so
+        # CI containers can lower it; ignored under spark-submit where
+        # the cluster manager owns executor sizing.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         # AQE: runtime coalescing + skew splitting for rollup shuffles.
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
