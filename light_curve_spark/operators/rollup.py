@@ -215,6 +215,99 @@ def rollup_tiers_arrays(
     )
 
 
+def rollup_quantiles_arrays(
+    seq: DataFrame,
+    base_width: int = 16,
+    tiers: tuple[int, ...] = (1, 10, 100),
+) -> DataFrame:
+    """Array-native exact median/MAD per tier bucket for the SEQUENCES
+    table: zero shuffle (the non-decomposable companion to
+    :func:`rollup_tiers_arrays`).
+
+    The relational :func:`rollup_quantiles` explodes sequences to long
+    form and shuffles EVERY point once per tier (median is
+    non-decomposable, so it was the pipeline's largest exchange — the
+    stage that hit the 1 GB-heap OOM at the 500k-sequence stress run).
+    But a sequence's buckets are contiguous runs of its own row, so the
+    exact per-bucket median/MAD reduce inside one mapInArrow pass: one
+    ``np.lexsort`` per tier per batch for the medians, one more for the
+    MADs (the same segment-median machinery as kernels feature_frame).
+    Results bit-match the relational path (tested) — token values are
+    integer-valued f64, and both paths take the exact mean-of-two-middles
+    median."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("source", StringType(), True),
+            StructField("tier", IntegerType(), False),
+            StructField("bucket", LongType(), False),
+            StructField("v_median", DoubleType(), False),
+            StructField("v_mad", DoubleType(), False),
+        ]
+    )
+
+    def _segment_median(values, gid, seg, seg_len):
+        order = np.lexsort((values, gid))
+        sv = values[order]
+        lo = seg + (seg_len - 1) // 2
+        hi = seg + seg_len // 2
+        return 0.5 * (sv[lo] + sv[hi])
+
+    def fn(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            toks = b.column(b.schema.get_field_index("tokens"))
+            off = toks.offsets.to_numpy()
+            lengths = (off[1:] - off[:-1]).astype(np.int64)
+            flat = toks.flatten().to_numpy().astype(np.float64)
+            starts = np.cumsum(lengths) - lengths
+            elem = np.repeat(np.arange(lengths.shape[0]), lengths)
+            pos = np.arange(flat.shape[0], dtype=np.int64) - starts[elem]
+            doc_col = b.column(b.schema.get_field_index("doc_id"))
+            src_col = b.column(b.schema.get_field_index("source"))
+            e_parts, t_parts, b_parts, med_parts, mad_parts = [], [], [], [], []
+            for t in tiers:
+                width = base_width * t
+                bucket = pos // width
+                gid = elem * (1 << 40) | bucket  # monotone within batch
+                seg = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+                seg_len = np.diff(np.r_[seg, flat.shape[0]])
+                med = _segment_median(flat, gid, seg, seg_len)
+                seg_of = np.repeat(np.arange(seg.shape[0]), seg_len)
+                absd = np.abs(flat - med[seg_of])
+                mad = _segment_median(absd, gid, seg, seg_len)
+                e_parts.append(elem[seg])
+                t_parts.append(np.full(seg.shape[0], t, dtype=np.int32))
+                b_parts.append(bucket[seg])
+                med_parts.append(med)
+                mad_parts.append(mad)
+            idx = pa.array(np.concatenate(e_parts))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_col.take(idx),
+                    src_col.take(idx),
+                    pa.array(np.concatenate(t_parts)),
+                    pa.array(np.concatenate(b_parts)),
+                    pa.array(np.concatenate(med_parts)),
+                    pa.array(np.concatenate(mad_parts)),
+                ],
+                [f.name for f in schema.fields],
+            )
+
+    return seq.select("doc_id", "source", "tokens").mapInArrow(fn, schema=schema)
+
+
 def rollup_quantiles(
     series: DataFrame,
     keys: list[str] | None = None,

@@ -31,10 +31,9 @@ from pyspark.sql import functions as F
 from light_curve_spark.operators.compress import encode_chunks
 from light_curve_spark.operators.features import extract_features
 from light_curve_spark.operators.rollup import (
-    rollup_quantiles,
+    rollup_quantiles_arrays,
     rollup_tiers_arrays,
 )
-from light_curve_spark.operators.series import explode_series
 from light_curve_spark.plans.caching import release_operator_caches
 from light_curve_spark.plans.salting import salted_repartition
 
@@ -109,9 +108,12 @@ def run_pipeline(
                 "rollup",
                 partition_by=["tier", "source"],
             )
-            series = explode_series(gseq)
+            # array-native: exact median/MAD without exploding+shuffling
+            # every point (was the pipeline's largest exchange)
             storage.append(
-                rollup_quantiles(series, base_width=cfg.base_width, tiers=cfg.tiers),
+                rollup_quantiles_arrays(
+                    gseq, base_width=int(cfg.base_width), tiers=cfg.tiers
+                ),
                 "rollup_quantiles",
                 partition_by=["tier"],
             )

@@ -506,3 +506,29 @@ def test_float32_input_path_cast_at_ingest(spark):
     g64 = regrid_kernel(s64, 0.0, 100.0, 11, keys=["doc_id"]).head().grid_v
     g32 = regrid_kernel(s32, 0.0, 100.0, 11, keys=["doc_id"]).head().grid_v
     assert max(abs(x - y) for x, y in zip(g64, g32)) < 1e-4
+
+
+def test_rollup_quantiles_arrays_matches_relational(spark, seq100):
+    from light_curve_spark.operators.rollup import (
+        rollup_quantiles,
+        rollup_quantiles_arrays,
+    )
+    from light_curve_spark.operators.series import explode_series
+
+    rel = {
+        (r.doc_id, r.tier, r.bucket): (r.v_median, r.v_mad)
+        for r in rollup_quantiles(explode_series(seq100), base_width=16).collect()
+    }
+    arr = {
+        (r.doc_id, r.tier, r.bucket): (r.v_median, r.v_mad)
+        for r in rollup_quantiles_arrays(seq100, base_width=16).collect()
+    }
+    assert rel == arr  # exact equality: same mean-of-two-middles median
+    # and the plan sanity: no Exchange in the array-native path
+    plan = (
+        rollup_quantiles_arrays(seq100, base_width=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
