@@ -104,6 +104,12 @@ def main() -> None:
         lambda: _run(extract_features(seq, freqs=np.linspace(0.05, 0.45, 9)))
     )
 
+    from light_curve_spark.operators.rollup import rollup_quantiles_arrays
+
+    timings["seq_quantiles_arrays"] = _timed_min(
+        lambda: _run(rollup_quantiles_arrays(seq, base_width=16, tiers=(1, 10, 100)))
+    )
+
     n_rolled = rollup_tiers_arrays(seq, base_width=16, tiers=(1, 10, 100)).count()
     timings["seq_rollup_cascade"] = _timed_min(
         lambda: rollup_tiers_arrays(seq, base_width=16, tiers=(1, 10, 100)).count()

@@ -30,6 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from oracle_impl import (
     embedding_pairs_lsh_ref,
+    rollup_quantiles_ref,
+    sequence_source_ref,
     fingerprint_ref,
     ivf_ann_topk_ref,
     lsh_ann_topk_ref,
@@ -139,6 +141,21 @@ def export_sequences_and_periodogram(n_rows: int = 300, seed: int = 42) -> None:
     ).to_parquet(os.path.join(OUT, "periodogram_seq.parquet"), index=False)
 
 
+def export_rollup_quantiles(n_rows: int = 300, seed: int = 42) -> None:
+    rows = []
+    for rid in range(n_rows):
+        doc_id, _, tokens = sequence_row_ref(rid, seed)
+        source = sequence_source_ref(rid, seed)
+        for tier, b, med, mad in rollup_quantiles_ref(tokens):
+            rows.append((doc_id, source, tier, b, med, mad))
+    pd.DataFrame(
+        rows,
+        columns=["doc_id", "source", "tier", "bucket", "v_median", "v_mad"],
+    ).astype({"tier": "int32", "bucket": "int64"}).to_parquet(
+        os.path.join(OUT, "rollup_quantiles_300.parquet"), index=False
+    )
+
+
 def export_media(n_rows: int = 60, seed: int = 42) -> None:
     rows = [media_row_ref(i, seed) for i in range(n_rows)]
     pd.DataFrame(rows, columns=["media_id", "kind", "n_bytes", "f0"]).astype(
@@ -209,7 +226,8 @@ if __name__ == "__main__":
     export_embedding_pairs_lsh(emb)
     print("embedding LSH/IVF done")
     export_sequences_and_periodogram()
-    print("sequences/periodogram done")
+    export_rollup_quantiles()
+    print("sequences/periodogram/quantiles done")
     export_media()
     export_lttb_events(sf_dir)
     print("all fixtures written to", OUT)

@@ -433,6 +433,28 @@ def ivf_ann_topk_ref(
     return scored[:k]
 
 
+def rollup_quantiles_ref(
+    tokens: list[int], base_width: int = 16, tiers=(1, 10, 100)
+) -> list[tuple[int, int, float, float]]:
+    """(tier, bucket, v_median, v_mad) rows for one sequence — scalar
+    re-derivation (sort + mean-of-two-middles). Medians of integer-valued
+    f64 are exact halves, so engine output is raw-value comparable."""
+    out = []
+    for tier in tiers:
+        width = base_width * tier
+        buckets: dict[int, list[float]] = {}
+        for pos, tok in enumerate(tokens):
+            buckets.setdefault(pos // width, []).append(float(tok))
+        for b, vals in sorted(buckets.items()):
+            sv = sorted(vals)
+            n = len(sv)
+            med = 0.5 * (sv[(n - 1) // 2] + sv[n // 2])
+            sa = sorted(abs(v - med) for v in vals)
+            mad = 0.5 * (sa[(n - 1) // 2] + sa[n // 2])
+            out.append((tier, b, med, mad))
+    return out
+
+
 # periodogram moments are computed inline in export_oracle_fixtures.py
 # (plain per-doc numpy over the scalar-generated tokens — normalized
 # power q = P/sum(P), sample-std moments, peak frequency).
