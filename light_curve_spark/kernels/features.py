@@ -190,6 +190,25 @@ def dmdt_counts(
     return counts.reshape(n_dt, n_dm)
 
 
+def segment_median(
+    values: np.ndarray,
+    key: np.ndarray,
+    seg_starts: np.ndarray,
+    seg_lengths: np.ndarray,
+) -> np.ndarray:
+    """Exact per-segment median (mean-of-two-middles) for MANY segments
+    at once: one lexsort by (key, value), then middle-index gathers.
+    ``key`` labels each element's segment (monotone non-decreasing);
+    ``seg_starts``/``seg_lengths`` delimit the segments in element order.
+    Shared by feature_frame's median/MAD and the array-native quantile
+    rollup — one implementation to keep edge handling in sync."""
+    order = np.lexsort((values, key))
+    sv = values[order]
+    hi = seg_starts + seg_lengths // 2  # index of upper middle
+    lo = seg_starts + (seg_lengths - 1) // 2
+    return 0.5 * (sv[lo] + sv[hi])
+
+
 def feature_frame(
     flat: np.ndarray,
     lengths: np.ndarray,
@@ -247,15 +266,8 @@ def feature_frame(
             np.nan,
         )
 
-    def _segment_median(values: np.ndarray) -> np.ndarray:
-        order = np.lexsort((values, elem))
-        sv = values[order]
-        hi = starts + lengths // 2  # index of upper middle
-        lo = starts + (lengths - 1) // 2
-        return 0.5 * (sv[lo] + sv[hi])
-
-    med = _segment_median(flat)
-    mad = _segment_median(np.abs(flat - med[elem]))
+    med = segment_median(flat, elem, starts, lengths)
+    mad = segment_median(np.abs(flat - med[elem]), elem, starts, lengths)
 
     out = {
         "mean": mean,

@@ -28,6 +28,32 @@ from light_curve_spark.functions import bucketize
 ROLLUP_AGG_COLS = ("n_points", "v_sum", "v_min", "v_max")
 
 
+def _int_width(base_width) -> int:
+    """Array-native rollups bucket on integer token positions; a
+    fractional width would silently shift bucket boundaries vs the
+    relational path (r2 review finding) — reject it loudly."""
+    bw = int(base_width)
+    if bw != base_width or bw <= 0:
+        raise ValueError(
+            f"array-native rollups need a positive integral base_width; got {base_width!r}"
+        )
+    return bw
+
+
+def _flat_token_segments(b):
+    """(flat f64 values, lengths, starts, elem, pos) from an Arrow
+    batch's ``tokens`` ListArray — the shared segment preamble of every
+    array-native kernel in this module."""
+    toks = b.column(b.schema.get_field_index("tokens"))
+    off = toks.offsets.to_numpy()
+    lengths = (off[1:] - off[:-1]).astype(np.int64)
+    flat = toks.flatten().to_numpy().astype(np.float64)
+    starts = np.cumsum(lengths) - lengths
+    elem = np.repeat(np.arange(lengths.shape[0]), lengths)
+    pos = np.arange(flat.shape[0], dtype=np.int64) - starts[elem]
+    return flat, lengths, starts, elem, pos
+
+
 def _base_rollup(series: DataFrame, keys: list[str], width: float) -> DataFrame:
     return series.groupBy(
         *keys, bucketize("t", width).alias("bucket")
@@ -149,19 +175,17 @@ def rollup_tiers_arrays(
         if t % prev_t != 0:
             raise ValueError(f"tier {t} not a multiple of {prev_t}")
 
+    base_width = _int_width(base_width)
+
     def fn(batches):
         for b in batches:
             if b.num_rows == 0:
                 continue
-            toks = b.column(b.schema.get_field_index("tokens"))
-            off = toks.offsets.to_numpy()
-            lengths = (off[1:] - off[:-1]).astype(np.int64)
-            flat = toks.flatten().to_numpy().astype(np.float64)
+            flat, lengths, starts, elem, pos = _flat_token_segments(b)
+            if flat.shape[0] == 0:
+                continue  # all-empty batch: no buckets (reduceat([0]) would throw)
             doc_col = b.column(b.schema.get_field_index("doc_id"))
             src_col = b.column(b.schema.get_field_index("source"))
-            starts = np.cumsum(lengths) - lengths
-            elem = np.repeat(np.arange(lengths.shape[0]), lengths)
-            pos = np.arange(flat.shape[0], dtype=np.int64) - starts[elem]
 
             parts = []
             # tier 1 from raw, segment boundaries where (row, bucket) changes
@@ -256,24 +280,17 @@ def rollup_quantiles_arrays(
         ]
     )
 
-    def _segment_median(values, gid, seg, seg_len):
-        order = np.lexsort((values, gid))
-        sv = values[order]
-        lo = seg + (seg_len - 1) // 2
-        hi = seg + seg_len // 2
-        return 0.5 * (sv[lo] + sv[hi])
+    base_width = _int_width(base_width)
 
     def fn(batches):
+        from light_curve_spark.kernels.features import segment_median
+
         for b in batches:
             if b.num_rows == 0:
                 continue
-            toks = b.column(b.schema.get_field_index("tokens"))
-            off = toks.offsets.to_numpy()
-            lengths = (off[1:] - off[:-1]).astype(np.int64)
-            flat = toks.flatten().to_numpy().astype(np.float64)
-            starts = np.cumsum(lengths) - lengths
-            elem = np.repeat(np.arange(lengths.shape[0]), lengths)
-            pos = np.arange(flat.shape[0], dtype=np.int64) - starts[elem]
+            flat, lengths, starts, elem, pos = _flat_token_segments(b)
+            if flat.shape[0] == 0:
+                continue  # all-empty batch: no buckets (empty medians would throw)
             doc_col = b.column(b.schema.get_field_index("doc_id"))
             src_col = b.column(b.schema.get_field_index("source"))
             e_parts, t_parts, b_parts, med_parts, mad_parts = [], [], [], [], []
@@ -283,10 +300,10 @@ def rollup_quantiles_arrays(
                 gid = elem * (1 << 40) | bucket  # monotone within batch
                 seg = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
                 seg_len = np.diff(np.r_[seg, flat.shape[0]])
-                med = _segment_median(flat, gid, seg, seg_len)
+                med = segment_median(flat, gid, seg, seg_len)
                 seg_of = np.repeat(np.arange(seg.shape[0]), seg_len)
                 absd = np.abs(flat - med[seg_of])
-                mad = _segment_median(absd, gid, seg, seg_len)
+                mad = segment_median(absd, gid, seg, seg_len)
                 e_parts.append(elem[seg])
                 t_parts.append(np.full(seg.shape[0], t, dtype=np.int32))
                 b_parts.append(bucket[seg])

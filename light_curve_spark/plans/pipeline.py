@@ -103,7 +103,7 @@ def run_pipeline(
             # array-native cascade: zero-shuffle (see rollup_tiers_arrays)
             storage.append(
                 rollup_tiers_arrays(
-                    gseq, base_width=int(cfg.base_width), tiers=cfg.tiers
+                    gseq, base_width=cfg.base_width, tiers=cfg.tiers
                 ),
                 "rollup",
                 partition_by=["tier", "source"],
@@ -112,7 +112,7 @@ def run_pipeline(
             # every point (was the pipeline's largest exchange)
             storage.append(
                 rollup_quantiles_arrays(
-                    gseq, base_width=int(cfg.base_width), tiers=cfg.tiers
+                    gseq, base_width=cfg.base_width, tiers=cfg.tiers
                 ),
                 "rollup_quantiles",
                 partition_by=["tier"],

@@ -532,3 +532,38 @@ def test_rollup_quantiles_arrays_matches_relational(spark, seq100):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_rollup_arrays_empty_sequences_and_fractional_width(spark):
+    """r2 review findings: an all-empty Arrow batch must emit zero bucket
+    rows (not IndexError), and a fractional base_width must raise instead
+    of silently truncating bucket boundaries."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from light_curve_spark.operators.rollup import (
+        rollup_quantiles_arrays,
+        rollup_tiers_arrays,
+    )
+
+    empty = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": ["a", "b"], "tokens": [[], []], "n_tok": [0, 0],
+             "source": ["web", "web"]}
+        ),
+        schema="doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1)
+    assert rollup_tiers_arrays(empty).count() == 0
+    assert rollup_quantiles_arrays(empty).count() == 0
+    mixed = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": ["a", "b"], "tokens": [[], [1, 2, 3]], "n_tok": [0, 3],
+             "source": ["web", "web"]}
+        ),
+        schema="doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1)
+    assert rollup_tiers_arrays(mixed).count() == 3  # doc b only, 3 tiers
+    with _pytest.raises(ValueError):
+        rollup_quantiles_arrays(empty, base_width=16.5)
+    with _pytest.raises(ValueError):
+        rollup_tiers_arrays(empty, base_width=0)
