@@ -190,6 +190,25 @@ def dmdt_counts(
     return counts.reshape(n_dt, n_dm)
 
 
+_TRIG_TABLE_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _trig_tables(freqs: np.ndarray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) lookup tables of shape (K, >=max_len) for the regular
+    time axis: entry [k][p] = trig(2*pi*freqs[k]*p), computed with the
+    same expression as the direct path (value-identical). Cached per
+    frequency grid and grown on demand (bounded by MAX_SEQ_LEN)."""
+    key = freqs.tobytes()
+    cached = _TRIG_TABLE_CACHE.get(key)
+    if cached is None or cached[0].shape[1] < max_len:
+        grow = max(max_len, 1024 if cached is None else 2 * cached[0].shape[1])
+        p = np.arange(grow, dtype=np.float64)
+        phases = 2.0 * np.pi * freqs[:, None] * p[None, :]
+        cached = (np.cos(phases), np.sin(phases))
+        _TRIG_TABLE_CACHE[key] = cached
+    return cached
+
+
 def segment_median(
     values: np.ndarray,
     key: np.ndarray,
@@ -285,19 +304,29 @@ def feature_frame(
 
     if freqs is not None:
         freqs = np.asarray(freqs, dtype=np.float64)
-        if t_flat is None:
-            t_flat = (np.arange(flat.shape[0], dtype=np.float64) - starts[elem]).astype(
-                np.float64
-            )
-        else:
-            t_flat = np.asarray(t_flat, dtype=np.float64)
         K = freqs.shape[0]
         power = np.empty((n, K), dtype=np.float64)
-        for k in range(K):  # loop over the SMALL fixed freq grid, not series
-            phase = 2.0 * np.pi * freqs[k] * t_flat
-            c = np.add.reduceat(d * np.cos(phase), starts)
-            s = np.add.reduceat(d * np.sin(phase), starts)
-            power[:, k] = c * c + s * s
+        if t_flat is None:
+            # regular time axis (t_i = i < MAX_SEQ_LEN): cos/sin of every
+            # possible phase are PRECOMPUTED per frequency, so the hot
+            # path is a table gather + multiply + reduceat — no trig per
+            # point. Table entries are np.cos(2*pi*f*k) over integer k,
+            # i.e. the exact same values the direct computation produced
+            # (bit-identical outputs; covered by the periodogram fixture
+            # oracle and the kernel-vs-relational tests).
+            pos = (np.arange(flat.shape[0], dtype=np.int64) - starts[elem])
+            cos_t, sin_t = _trig_tables(freqs, int(lengths.max()))
+            for k in range(K):
+                c = np.add.reduceat(d * cos_t[k][pos], starts)
+                s = np.add.reduceat(d * sin_t[k][pos], starts)
+                power[:, k] = c * c + s * s
+        else:
+            t_flat = np.asarray(t_flat, dtype=np.float64)
+            for k in range(K):  # loop over the SMALL freq grid, not series
+                phase = 2.0 * np.pi * freqs[k] * t_flat
+                c = np.add.reduceat(d * np.cos(phase), starts)
+                s = np.add.reduceat(d * np.sin(phase), starts)
+                power[:, k] = c * c + s * s
         tot = power.sum(axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
             q = power / tot[:, None]
