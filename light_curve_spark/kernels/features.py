@@ -190,22 +190,25 @@ def dmdt_counts(
     return counts.reshape(n_dt, n_dm)
 
 
-_TRIG_TABLE_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+# single-slot cache (last frequency grid only): a dict keyed by grid
+# would grow unboundedly in a long-lived worker sweeping ad-hoc grids
+_TRIG_TABLE_CACHE: list = [None, None]  # [key, (cos, sin)]
 
 
 def _trig_tables(freqs: np.ndarray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
     """(cos, sin) lookup tables of shape (K, >=max_len) for the regular
     time axis: entry [k][p] = trig(2*pi*freqs[k]*p), computed with the
-    same expression as the direct path (value-identical). Cached per
-    frequency grid and grown on demand (bounded by MAX_SEQ_LEN)."""
+    same expression as the direct path (value-identical). Caches the
+    LAST grid, grown on demand (each entry bounded by MAX_SEQ_LEN)."""
     key = freqs.tobytes()
-    cached = _TRIG_TABLE_CACHE.get(key)
+    cached = _TRIG_TABLE_CACHE[1] if _TRIG_TABLE_CACHE[0] == key else None
     if cached is None or cached[0].shape[1] < max_len:
         grow = max(max_len, 1024 if cached is None else 2 * cached[0].shape[1])
         p = np.arange(grow, dtype=np.float64)
         phases = 2.0 * np.pi * freqs[:, None] * p[None, :]
         cached = (np.cos(phases), np.sin(phases))
-        _TRIG_TABLE_CACHE[key] = cached
+        _TRIG_TABLE_CACHE[0] = key
+        _TRIG_TABLE_CACHE[1] = cached
     return cached
 
 

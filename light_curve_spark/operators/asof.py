@@ -12,9 +12,11 @@ BroadcastNestedLoopJoin (the plan Catalyst would pick for the naive
 Ties: a right row AT the left timestamp matches (inclusive, like
 DuckDB/pandas ``ASOF JOIN`` backward semantics — the DuckDB twin in
 __spark_entry__ cross-checks this). Among MULTIPLE right rows at the
-same (key, t) the winner is deterministic: the row with the greatest
-(value_cols..., t) tuple — pinned by a struct column in the window
-order, tested against repartitionings in tests/test_asof.py.
+same (key, t) the winner is deterministic AND whole-row: the right side
+travels as one struct, so the output columns always come from a single
+right row — the lexicographically-greatest (value_cols..., t) tuple —
+even when that row has null value members (tested against
+repartitionings and null-member rows in tests/test_asof.py).
 """
 
 from __future__ import annotations
@@ -35,46 +37,45 @@ def asof_join(
     right value columns (+ ``prefix``t = matching right timestamp), null
     when no right row precedes the left row."""
     lcols = [c for c in left.columns]
+    # the right side travels as ONE struct column: the window's single
+    # last(_r_all, ignorenulls) then picks a whole ROW — per-column
+    # last() would skip a null member of the winning row and blend in
+    # another row's value (no such right row would exist)
+    r_struct_cols = [F.col(c) for c in value_cols] + [F.col(t_col).alias("_rt")]
+    r_struct_type = (
+        right.select(F.struct(*r_struct_cols).alias("_r_all")).schema["_r_all"].dataType
+    )
     l = left.select(
         *keys,
         F.col(t_col).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols if c not in keys and c != t_col],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[t_col].dataType).alias("_r_t"),
+        F.lit(None).cast(r_struct_type).alias("_r_all"),
     )
     r = right.select(
         *keys,
         F.col(t_col).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys and c != t_col],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(t_col).alias("_r_t"),
+        F.struct(*r_struct_cols).alias("_r_all"),
     )
-    u = l.unionByName(r).withColumn(
-        # deterministic tie-break among DUPLICATE right timestamps: order
-        # right rows by the struct of their value columns (+ _r_t), so
-        # last() always picks the lexicographically-greatest right row.
-        # Without this, orderBy('_t','_is_left') is not a total order and
-        # the winner flickers across runs/partitionings.
-        "_r_ord",
-        F.struct(*[F.col(f"_r_{c}") for c in value_cols], F.col("_r_t")),
-    )
-    # right rows sort BEFORE left rows at equal t -> inclusive match
-    # (left rows carry a null _r_ord but _is_left dominates the ordering,
-    # and all last() sources are non-null only on right rows)
+    u = l.unionByName(r)
+    # right rows sort BEFORE left rows at equal t -> inclusive match.
+    # _r_all as the final order key pins a deterministic winner among
+    # DUPLICATE right timestamps (lexicographically-greatest row);
+    # without it the order is not total and the winner flickers across
+    # partitionings. Left rows carry a null _r_all, but _is_left
+    # dominates their ordering.
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_t", "_is_left", "_r_ord")
+        .orderBy("_t", "_is_left", "_r_all")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    winner = F.last("_r_all", ignorenulls=True).over(w)
     filled = u.select(
         *u.columns,
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in value_cols
-        ],
-        F.last("_r_t", ignorenulls=True).over(w).alias(f"{prefix}t"),
+        *[winner[c].alias(f"{prefix}{c}") for c in value_cols],
+        winner["_rt"].alias(f"{prefix}t"),
     )
     out_cols = (
         keys

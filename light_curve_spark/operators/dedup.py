@@ -103,14 +103,17 @@ def ngram_jaccard_pairs(
             F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
         ).alias("gram"),
     )
-    # prune via broadcast ANTI-join against the HIGH-df grams: their
-    # count is provably <= total_gram_instances / max_df (pigeonhole),
-    # so the broadcast is always tiny and the gram table itself never
-    # shuffles for pruning (vs. equi-joining the huge low-df set)
+    # prune via LEFT ANTI join against the HIGH-df grams — a set bounded
+    # by total_gram_instances / max_df (pigeonhole), i.e. orders of
+    # magnitude smaller than the low-df set the old inner-join pruned
+    # against. No forced broadcast hint: at corpus scales the bound still
+    # allows a set too big to broadcast (10^12 instances / 10^3 = 10^9
+    # keys), so the planner/AQE picks broadcast when it fits and degrades
+    # to a shuffled anti-join gracefully when it doesn't.
     high_df = (
         grams.groupBy("gram").count().filter(F.col("count") > max_df).select("gram")
     )
-    grams = grams.join(F.broadcast(high_df), "gram", "left_anti")
+    grams = grams.join(high_df, "gram", "left_anti")
     # persist the pruned inverted index: it feeds the per-doc sizes AND
     # both sides of the self-join — without this, Catalyst recomputes the
     # normalize+split+zip_with n-gram construction ~3x (3 corpus scans at

@@ -161,12 +161,18 @@ def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) -> Dat
             if bufs[2] is not None
             else np.empty(0, dtype=np.uint8)
         )
-        data = raw[off[0] : off[-1]]
         lengths = np.diff(off)
-        if arr.null_count:
-            valid = np.asarray(arr.is_valid())
-            lengths = np.where(valid, lengths, 0)
-        return data, lengths
+        if not arr.null_count:
+            return raw[off[0] : off[-1]], lengths
+        # null slots: zero their lengths AND compact the byte buffer by
+        # per-doc gathers — a null slot whose offsets span stale bytes
+        # would otherwise desync logical starts from the data
+        lengths = np.where(np.asarray(arr.is_valid()), lengths, 0)
+        raw_starts = off[:-1]
+        starts = np.cumsum(lengths) - lengths
+        doc_of = np.repeat(np.arange(lengths.shape[0]), lengths)
+        within = np.arange(int(lengths.sum())) - starts[doc_of]
+        return raw[raw_starts[doc_of] + within], lengths
 
     def fn(batches):
         for b in batches:

@@ -53,7 +53,10 @@ def stream_base_rollup(
         stream.withWatermark(ts_col, watermark)
         .groupBy(*keys, win.alias("_w"))
         .agg(
-            F.count("*").alias("n_points"),
+            # count(v), NOT count(*): the batch base tier counts non-null
+            # values only — null-valued events must not skew n_points /
+            # v_mean when streamed buckets feed the shared cascade/merge
+            F.count(v).alias("n_points"),
             F.sum(v).alias("v_sum"),
             F.min(v).alias("v_min"),
             F.max(v).alias("v_max"),
@@ -155,6 +158,16 @@ def run_stream_rollup(
     after the trigger drains — a scheduler (or a long-lived query with a
     processing-time trigger) calls this per arrival."""
     keys = keys or ["user_id"]
+    if not hasattr(storage, "read_snapshot"):
+        # the upsert contract is replace-on-write FULL-state snapshots;
+        # IcebergStorage appends rows (its streaming path would be an
+        # Iceberg MERGE) — fail loudly instead of AttributeError inside
+        # the micro-batch, or worse, silently accumulating stale buckets
+        raise TypeError(
+            "run_stream_rollup needs a replace-on-write snapshot store "
+            "(read_snapshot/append), e.g. ParquetSnapshotStorage; got "
+            f"{type(storage).__name__}"
+        )
     src = spark.readStream.schema(input_schema).parquet(input_dir)
     agg = stream_base_rollup(
         src, keys, ts_col=ts_col, v_col=v_col,

@@ -64,3 +64,28 @@ def test_asof_join_duplicate_right_timestamps_deterministic(spark):
         assert len(out) == 1
         assert out[0].asof_rv == 9.0  # max value wins, every time
         assert out[0].asof_t == 5.0
+
+
+def test_asof_join_null_value_member_stays_whole_row(spark):
+    """r2 review: per-column last(ignorenulls) could blend two right rows
+    when the winner has a null value member; the struct winner must keep
+    the whole row (null member included)."""
+    import pandas as pd
+
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [10.0], "lv": [1]}))
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "t": [5.0, 5.0],
+                "v1": [9.0, 5.0],
+                "v2": [None, 7.0],
+            }
+        )
+    )
+    out = asof_join(left, right, keys=["k"], value_cols=["v1", "v2"]).head()
+    # winner is the greatest (v1, v2, t) tuple = (9.0, NULL, 5.0) — its
+    # null v2 must NOT be replaced by the other row's 7.0
+    assert out.asof_v1 == 9.0
+    assert out.asof_v2 is None
+    assert out.asof_t == 5.0
