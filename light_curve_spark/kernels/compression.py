@@ -226,11 +226,19 @@ def encode_timestamps(t: np.ndarray) -> bytes:
 
 
 def decode_timestamps(buf: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_timestamps`. Sequential bit-walk per chunk."""
+    """Inverse of :func:`encode_timestamps`.
+
+    Fast path first: the canonical sequence time axis (t = t0..t0+n-1)
+    has a deterministic encoding, so one cached-bytes comparison against
+    :func:`encode_timestamps_regular`'s output replaces the whole O(n)
+    bit-walk with an ``arange`` — ~100x for the dominant chunk shape.
+    Irregular streams fall through to the sequential bit-walk."""
     (n,) = struct.unpack_from("<I", buf, 0)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     (t0,) = struct.unpack_from("<q", buf, 4)
+    if buf == encode_timestamps_regular(n, t0):
+        return t0 + np.arange(n, dtype=np.int64)
     out = np.empty(n, dtype=np.int64)
     out[0] = t0
     if n == 1:
@@ -898,6 +906,105 @@ def decode_values_columnar(buf: bytes) -> np.ndarray:
     np.bitwise_xor.accumulate(
         np.concatenate([np.array([v0], dtype=_U64), xors]), out=out
     )
+    return out
+
+
+def decode_values_batch_blocked(buffers: list[bytes]) -> list[np.ndarray]:
+    """Batch inverse of :func:`encode_values_blocked`: MANY chunks in one
+    vectorized pass. Identical outputs to calling
+    :func:`decode_values_blocked` per buffer (tested); the win is the
+    read path's per-chunk numpy dispatch — every section (bitmaps,
+    windows, payloads) is concatenated and extracted once, and the
+    prefix-XOR reconstruction runs globally with a per-row correction
+    term (prefix-xor within row r = global prefix-xor ^ the global
+    prefix just before the row — XOR cancels the foreign prefix)."""
+    R = len(buffers)
+    out: list = [None] * R
+    rows = []  # (r, n, v0, m, bm_off, bm_len, b_off, b_len, c_off)
+    for r, buf in enumerate(buffers):
+        (n,) = struct.unpack_from("<I", buf, 0)
+        if n == 0:
+            out[r] = np.empty(0, dtype=_U64)
+            continue
+        (v0,) = struct.unpack_from("<Q", buf, 4)
+        if n == 1:
+            out[r] = np.array([v0], dtype=_U64)
+            continue
+        (m,) = struct.unpack_from("<I", buf, 12)
+        if m == 0:
+            out[r] = np.full(n, v0, dtype=_U64)  # all-zero XORs
+            continue
+        bm_len = (n - 1 + 7) // 8
+        (b_len,) = struct.unpack_from("<I", buf, 16 + bm_len)
+        rows.append((r, n, v0, m, 16, bm_len, 20 + bm_len, b_len, 20 + bm_len + b_len))
+    if not rows:
+        return out
+
+    nr = len(rows)
+    n_arr = np.array([x[1] for x in rows], dtype=np.int64)
+    v0_arr = np.array([x[2] for x in rows], dtype=np.uint64)
+    m_arr = np.array([x[3] for x in rows], dtype=np.int64)
+    bm_cat = b"".join(buffers[x[0]][x[4] : x[4] + x[5]] for x in rows)
+    b_cat = b"".join(buffers[x[0]][x[6] : x[6] + x[7]] for x in rows)
+    c_cat = b"".join(buffers[x[0]][x[8] :] for x in rows)
+    bm_bytes = np.array([x[5] for x in rows], dtype=np.int64)
+    b_bytes = np.array([x[7] for x in rows], dtype=np.int64)
+    c_bytes = np.array([len(buffers[x[0]]) - x[8] for x in rows], dtype=np.int64)
+
+    # per-row bit bases into the concatenated sections (all byte-aligned)
+    bm_base = (np.cumsum(bm_bytes) - bm_bytes) * 8
+    b_base = (np.cumsum(b_bytes) - b_bytes) * 8
+    c_base = (np.cumsum(c_bytes) - c_bytes) * 8
+
+    # control bitmaps -> global nonzero mask per XOR token
+    bits_all = np.unpackbits(np.frombuffer(bm_cat, dtype=np.uint8))
+    tok_per_row = n_arr - 1
+    tok_row_start = np.cumsum(tok_per_row) - tok_per_row
+    tok_row = np.repeat(np.arange(nr), tok_per_row)
+    tok_in_row = np.arange(int(tok_per_row.sum())) - tok_row_start[tok_row]
+    nonzero = bits_all[bm_base[tok_row] + tok_in_row].astype(bool)
+
+    # block windows
+    nblocks = (m_arr + BLOCK_K - 1) // BLOCK_K
+    blk_row_start = np.cumsum(nblocks) - nblocks
+    blk_row = np.repeat(np.arange(nr), nblocks)
+    blk_in_row = np.arange(int(nblocks.sum())) - blk_row_start[blk_row]
+    win = _extract_varbits(
+        b_cat,
+        b_base[blk_row] + blk_in_row * 12,
+        np.full(blk_in_row.shape[0], 12, dtype=np.int64),
+    )
+    lead_env = (win >> _U64(6)).astype(np.int64)
+    mlen_env = (win & _MASK6).astype(np.int64) + 1
+    trail_env = 64 - lead_env - mlen_env
+
+    # payloads: per nonzero token, its block's envelope length
+    nz_row_start = np.cumsum(m_arr) - m_arr
+    nz_row = np.repeat(np.arange(nr), m_arr)
+    nz_in_row = np.arange(int(m_arr.sum())) - nz_row_start[nz_row]
+    tok_block = blk_row_start[nz_row] + nz_in_row // BLOCK_K
+    mlen = mlen_env[tok_block]
+    g = np.cumsum(mlen) - mlen
+    local = g - g[nz_row_start[nz_row]]
+    meaningful = _extract_varbits(c_cat, c_base[nz_row] + local, mlen)
+
+    # scatter XORs, then one global prefix-xor with per-row correction
+    total = int(n_arr.sum())
+    row_start = np.cumsum(n_arr) - n_arr
+    stream = np.zeros(total, dtype=_U64)
+    stream[row_start] = v0_arr
+    xor_pos = np.arange(total, dtype=np.int64)
+    is_first = np.zeros(total, dtype=bool)
+    is_first[row_start] = True
+    tok_slots = xor_pos[~is_first]  # global slot of each XOR token
+    stream[tok_slots[nonzero]] = meaningful << trail_env[tok_block].astype(_U64)
+    acc = np.bitwise_xor.accumulate(stream)
+    # prefix just before each row (0 for the first)
+    prev = np.zeros(nr, dtype=_U64)
+    prev[1:] = acc[row_start[1:] - 1]
+    vals = acc ^ np.repeat(prev, n_arr)
+    for i, x in enumerate(rows):
+        out[x[0]] = vals[row_start[i] : row_start[i] + n_arr[i]]
     return out
 
 

@@ -328,3 +328,66 @@ def test_blocked_smaller_than_columnar_on_tokens():
     col = sum(len(x) for x in encode_values_batch_columnar(tl))
     blk = sum(len(x) for x in encode_values_batch_blocked(tl))
     assert blk < 0.8 * col  # measured ~0.70
+
+
+def test_batch_decode_blocked_matches_single():
+    from light_curve_spark.kernels.compression import (
+        decode_values_batch_blocked,
+        decode_values_blocked,
+        encode_values_batch_blocked,
+    )
+
+    rng = np.random.default_rng(21)
+    cases = [
+        np.array([], dtype=np.int64),
+        np.array([5], dtype=np.int64),
+        np.zeros(64, dtype=np.int64),          # all-zero xors (m == 0)
+        rng.integers(0, 50257, 777).astype(np.int64),
+        np.array([2**63 - 1, -(2**63), 0, -1, 1], dtype=np.int64),
+        np.cumsum(rng.integers(-3, 4, 200)).astype(np.int64),
+    ]
+    enc = encode_values_batch_blocked(cases)
+    batch = decode_values_batch_blocked(enc)
+    for b, e, orig in zip(batch, enc, cases):
+        assert np.array_equal(b, decode_values_blocked(e))
+        assert np.array_equal(b.view(np.int64), orig)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_batch_decode_blocked_hypothesis(series):
+    from light_curve_spark.kernels.compression import (
+        decode_values_batch_blocked,
+        encode_values_batch_blocked,
+    )
+
+    arrs = [np.array(s, dtype=np.int64) for s in series]
+    dec = decode_values_batch_blocked(encode_values_batch_blocked(arrs))
+    for d, a in zip(dec, arrs):
+        assert np.array_equal(d.view(np.int64), a)
+
+
+def test_decode_timestamps_fastpath_and_irregular():
+    from light_curve_spark.kernels.compression import (
+        decode_timestamps,
+        encode_timestamps,
+        encode_timestamps_regular,
+    )
+
+    # fast path: regular axis round-trips via the cached-bytes compare
+    for n, t0 in [(0, 0), (1, 5), (2, -3), (100, 10), (4096, 7)]:
+        out = decode_timestamps(encode_timestamps_regular(n, t0))
+        assert out.tolist() == list(range(t0, t0 + n))
+    # irregular stream still takes the bit-walk
+    t = np.array([0, 5, 6, 100, 101, 102, 10_000_000], dtype=np.int64)
+    assert decode_timestamps(encode_timestamps(t)).tolist() == t.tolist()
