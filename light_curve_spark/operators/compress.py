@@ -201,9 +201,16 @@ def encode_chunks(
 
 def decode_chunks(chunks: DataFrame) -> DataFrame:
     """chunk table -> (doc_id, chunk_no, t, tokens); the round-trip
-    half of the per-row invariant."""
+    half of the per-row invariant.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ``mapInArrow`` + direct ``ListArray.from_arrays`` construction: the
+    decoded arrays go flat-buffer -> Arrow with NO per-row Python
+    objects (a pandas route would box one numpy array per row just for
+    Arrow to unbox it again)."""
+
+    def fn(batches):
+        import pyarrow as pa
+
         from light_curve_spark.kernels.compression import (
             decode_values_batch_blocked,
             decode_values_blocked,
@@ -215,12 +222,17 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
             "xor-blocked": decode_values_blocked,
             "xor-interleaved": decode_values,
         }
-        for pdf in batches:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
             # timestamps: the regular-axis fast path inside
             # decode_timestamps makes this loop ~free
-            ts = [decode_timestamps(bytes(b)) for b in pdf["ts_dod"]]
-            bufs = [bytes(v) for v in pdf["vals_gorilla"]]
-            codecs = list(pdf["codec"])
+            ts = [
+                decode_timestamps(v)
+                for v in b.column(b.schema.get_field_index("ts_dod")).to_pylist()
+            ]
+            bufs = b.column(b.schema.get_field_index("vals_gorilla")).to_pylist()
+            codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
             toks: list = [None] * len(bufs)
             # default codec decodes as ONE vectorized batch (4x over the
             # per-chunk loop — numpy dispatch dominated); other codecs
@@ -230,21 +242,33 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
                 for i, d in zip(
                     blocked, decode_values_batch_blocked([bufs[i] for i in blocked])
                 ):
-                    toks[i] = d.view(np.int64).astype(np.int32)
+                    toks[i] = d
             for i, c in enumerate(codecs):
                 if toks[i] is None:
-                    toks[i] = decoders[c](bufs[i]).view(np.int64).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "source": pdf["source"],
-                    "chunk_no": pdf["chunk_no"],
-                    "t": ts,
-                    "tokens": toks,
-                }
+                    toks[i] = decoders[c](bufs[i])
+
+            t_off = np.zeros(len(ts) + 1, dtype=np.int32)
+            t_off[1:] = np.cumsum(
+                np.fromiter((a.shape[0] for a in ts), dtype=np.int64, count=len(ts))
+            )
+            t_flat = np.concatenate(ts)
+            tok_off = np.zeros(len(toks) + 1, dtype=np.int32)
+            tok_off[1:] = np.cumsum(
+                np.fromiter((a.shape[0] for a in toks), dtype=np.int64, count=len(toks))
+            )
+            tok_flat = np.concatenate(toks).view(np.int64).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    b.column(b.schema.get_field_index("source")),
+                    b.column(b.schema.get_field_index("chunk_no")),
+                    pa.ListArray.from_arrays(pa.array(t_off), pa.array(t_flat)),
+                    pa.ListArray.from_arrays(pa.array(tok_off), pa.array(tok_flat)),
+                ],
+                ["doc_id", "source", "chunk_no", "t", "tokens"],
             )
 
-    return chunks.mapInPandas(fn, schema=DECODED_SCHEMA)
+    return chunks.mapInArrow(fn, schema=DECODED_SCHEMA)
 
 
 def reassemble(decoded: DataFrame) -> DataFrame:
