@@ -418,6 +418,16 @@ def q_ngram_jaccard_documents(spark, sf_dir):
     return out.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
 
 
+def q_dedup_clusters_documents(spark, sf_dir):
+    """Connected components over the exact ngram-jaccard near-dup pairs:
+    (doc_id, keep_id = cluster-min survivor). Oracle: plain union-find
+    over the same pairs (fixture)."""
+    from light_curve_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, max_df=100)
+    return dedup_clusters(pairs)
+
+
 def q_minhash_lsh_documents(spark, sf_dir):
     from light_curve_spark.operators.dedup import minhash_lsh_pairs
 
@@ -643,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dmdt_events_kernel": q_dmdt_events_kernel,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "simhash_documents": q_simhash_documents,
         "language_id_documents": q_language_id_documents,
@@ -1125,6 +1136,9 @@ def _raw_oracles() -> dict[str, str]:
         "validate_events": _VALIDATE_SQL,
         # fixture-backed oracles (independent pure-Python reference
         # implementations; see _FIXTURES comment above)
+        "dedup_clusters_documents": _fixture_sql(
+            "dedup_clusters.parquet", "doc_id, keep_id"
+        ),
         "minhash_lsh_documents": _fixture_sql(
             "minhash_lsh.parquet",
             "doc_a, doc_b, round(jaccard, 6) AS jaccard",

@@ -269,6 +269,74 @@ def simhash(text_col: str = "text", bits: int = 64) -> F.Column:
     return out
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, keep_id):
+    every member of a duplicate cluster labeled with the cluster's
+    MINIMUM doc id (the deterministic survivor — same rule as
+    :func:`exact_dedup`). The missing last step of a dedup pipeline:
+    pair emitters (ngram/minhash/simhash) say who MATCHES whom; this
+    says which row to KEEP.
+
+    Iterative min-label propagation, all declarative: each round joins
+    the undirected edge list against current labels and takes the min
+    over the closed neighborhood; labels are persisted per round via the
+    cache registry and released on convergence. Rounds needed = cluster
+    diameter — near-dup clusters are shallow in practice (pairs within a
+    cluster are mutually similar), and ``max_iter`` guards adversarial
+    chains. The per-round plan is one shuffle join + one groupBy — at
+    100 TB each round is AQE-owned and label tables shrink as clusters
+    collapse; for graphs with huge diameters swap in the
+    large-star/small-star variant (same join shapes, path doubling).
+    """
+    from light_curve_spark.plans.caching import cached, release_operator_caches
+
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = cached(
+        fwd.unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+    )
+    labels = cached(
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("keep_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("keep_id").alias("nbr_min"))
+        )
+        new_labels = cached(
+            labels.join(nbr, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("keep_id"), F.coalesce(F.col("nbr_min"), F.col("keep_id"))
+                ).alias("keep_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.keep_id") != F.col("o.keep_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    # truncate the iteration's join lineage (distributed, no driver
+    # collect) so the per-round caches can be released safely
+    labels = labels.localCheckpoint(eager=True)
+    release_operator_caches()
+    return labels
+
+
 def simhash_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, sh): same hashes as :func:`simhash`, ONE pass.
 

@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from oracle_impl import (
+    dedup_clusters_ref,
     embedding_pairs_lsh_ref,
     rollup_quantiles_ref,
     sequence_source_ref,
@@ -56,6 +57,38 @@ def _embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
         (vid, [float(x) for x in vec])
         for vid, vec in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
     ]
+
+
+def export_dedup_clusters(docs) -> None:
+    """Clusters over the same ngram-jaccard pairs the engine query uses
+    (threshold 0.5, max_df 100), resolved by plain union-find."""
+    from oracle_impl import spark_xxhash64_str, word_ngrams
+
+    gram_sets = {
+        doc_id: {spark_xxhash64_str(g) for g in word_ngrams(text, 3)}
+        for doc_id, text in docs
+    }
+    df_count: dict[int, int] = {}
+    for s in gram_sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    pruned = {
+        d: {g for g in s if df_count[g] <= 100} for d, s in gram_sets.items()
+    }
+    ids = sorted(pruned)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(pruned[a] & pruned[b])
+            if inter == 0:
+                continue
+            union = len(pruned[a]) + len(pruned[b]) - inter
+            if union and inter / union >= 0.5:
+                pairs.append((a, b))
+    rows = dedup_clusters_ref(pairs)
+    pd.DataFrame(rows, columns=["doc_id", "keep_id"]).astype("int64").to_parquet(
+        os.path.join(OUT, "dedup_clusters.parquet"), index=False
+    )
 
 
 def export_minhash(docs) -> None:
@@ -216,7 +249,8 @@ if __name__ == "__main__":
     docs = _docs(sf_dir)
     emb = _embeddings(sf_dir)
     export_minhash(docs)
-    print("minhash_lsh done")
+    export_dedup_clusters(docs)
+    print("minhash_lsh/clusters done")
     export_simhash(docs)
     print("simhash done")
     export_fingerprint(docs)

@@ -433,6 +433,33 @@ def ivf_ann_topk_ref(
     return scored[:k]
 
 
+def dedup_clusters_ref(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """(doc_id, keep_id = cluster min) via plain union-find — the
+    independent oracle for operators/dedup.dedup_clusters."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, list[int]] = {}
+    for x in parent:
+        roots.setdefault(find(x), []).append(x)
+    out = []
+    for members in roots.values():
+        keep = min(members)
+        out.extend((m, keep) for m in members)
+    return sorted(out)
+
+
 def rollup_quantiles_ref(
     tokens: list[int], base_width: int = 16, tiers=(1, 10, 100)
 ) -> list[tuple[int, int, float, float]]:

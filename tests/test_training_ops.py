@@ -334,3 +334,20 @@ def test_downsample_lttb_duplicate_timestamp_determinism(spark):
         row = downsample_lttb(df, n_out=10, keys=["doc_id"]).head()
         outs.append((list(row.t_ds), list(row.v_ds)))
     assert outs[0] == outs[1]
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A-B and B-C pairs must collapse into ONE cluster keyed by the
+    minimum id, across multiple propagation rounds (chain diameter 2),
+    and isolated pairs stay separate."""
+    import pandas as pd
+
+    from light_curve_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_a": [1, 2, 9, 20], "doc_b": [2, 3, 1, 21]}
+        )
+    )
+    out = {r.doc_id: r.keep_id for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
