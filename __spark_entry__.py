@@ -588,6 +588,33 @@ def q_rollup_quantiles_sequences(spark, sf_dir):
     return rollup_quantiles_arrays(seq, base_width=16, tiers=(1, 10, 100))
 
 
+def q_sample_documents(spark, sf_dir):
+    """Deterministic corpus subsample: 20 docs per source, ranked by
+    md5(doc_id) — a pure function of the data (re-runs, resizes, and the
+    DuckDB twin select the same rows), unlike seed-based df.sample()."""
+    from light_curve_spark.operators.sampling import deterministic_sample
+
+    out = deterministic_sample(
+        _docs(spark, sf_dir), strata_cols=["source"], k=20, id_col="doc_id"
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+def q_topk_events_per_user(spark, sf_dir):
+    """Per-key top-k (SURVEY §2.7): each user's 3 highest-value events,
+    ties broken by event_id."""
+    from light_curve_spark.operators.sampling import top_k_per_key
+
+    _utc(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = top_k_per_key(
+        ev.select("user_id", "event_id", "value"),
+        keys=["user_id"], order_col="value", k=3,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select("user_id", "event_id", "value")
+
+
 def q_downsample_lttb_events(spark, sf_dir):
     """LTTB downsample every user's series to 40 points, exploded back to
     rows. t/v are raw pass-throughs of selected observations, so the
@@ -671,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram_sequences": q_periodogram_sequences,
         "media_features": q_media_features,
         "downsample_lttb_events": q_downsample_lttb_events,
+        "sample_documents": q_sample_documents,
+        "topk_events_per_user": q_topk_events_per_user,
         "validate_events": q_validate_events,
     }
 
@@ -1134,6 +1163,22 @@ def _raw_oracles() -> dict[str, str]:
         "cosine_topk_embeddings": _COSINE_SQL,
         "cosine_topk_embeddings_kernel": _COSINE_SQL,
         "validate_events": _VALIDATE_SQL,
+        "sample_documents": """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+""",
+        "topk_events_per_user": """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+""",
         # fixture-backed oracles (independent pure-Python reference
         # implementations; see _FIXTURES comment above)
         "dedup_clusters_documents": _fixture_sql(

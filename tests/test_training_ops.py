@@ -351,3 +351,39 @@ def test_dedup_clusters_transitive_chain(spark):
     )
     out = {r.doc_id: r.keep_id for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_deterministic_sample_partition_independent(spark, sf_dir):
+    from light_curve_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(
+        (r.source, r.doc_id)
+        for r in deterministic_sample(docs, ["source"], 5, "doc_id").collect()
+    )
+    b = sorted(
+        (r.source, r.doc_id)
+        for r in deterministic_sample(
+            docs.repartition(7), ["source"], 5, "doc_id"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_top_k_per_key_ties_deterministic(spark):
+    import pandas as pd
+
+    from light_curve_spark.operators.sampling import top_k_per_key
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"] * 4, "id": [4, 3, 2, 1], "v": [9.0, 9.0, 9.0, 1.0]}
+        )
+    )
+    out = sorted(
+        r.id
+        for r in top_k_per_key(
+            df, ["k"], "v", 2, tiebreak_cols=["id"]
+        ).collect()
+    )
+    assert out == [2, 3]  # ties on v -> lowest ids win
