@@ -428,6 +428,22 @@ def q_dedup_clusters_documents(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_contamination_documents(spark, sf_dir):
+    """Train/eval decontamination over a parity split of the corpus:
+    eval docs (odd ids) sharing >= 2 distinct 3-grams with a train doc
+    (even ids). SQL twin mirrors the inverted-index plan with string
+    grams (hash-vs-string equivalence, as with ngram_jaccard)."""
+    from light_curve_spark.operators.dedup import cross_ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    out = cross_ngram_contamination(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=3, max_df=100, min_shared=2,
+    )
+    return out.select("eval_id", "train_id", "n_shared")
+
+
 def q_minhash_lsh_documents(spark, sf_dir):
     from light_curve_spark.operators.dedup import minhash_lsh_pairs
 
@@ -681,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
+        "contamination_documents": q_contamination_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "simhash_documents": q_simhash_documents,
         "language_id_documents": q_language_id_documents,
@@ -945,6 +962,27 @@ WHERE dt_bin >= 0 AND dt_bin < 10 AND dm_bin >= 0 AND dm_bin < 10
 GROUP BY 1, 2, 3
 """
 
+
+_CONTAMINATION_SQL = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents),
+g0 AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 3 THEN [] ELSE
+           list_distinct(list_transform(range(1, len(words) - 1),
+                                        i -> array_to_string(words[i:i+2], ' ')))
+         END AS grams
+  FROM w
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+gg AS (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram))
+SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM gg e JOIN gg t ON e.gram = t.gram
+WHERE e.doc_id % 2 = 1 AND t.doc_id % 2 = 0
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
 _EXACT_DEDUP_SQL = f"""
 SELECT md5({_NORM}) AS digest,
        CAST(count(*) AS BIGINT) AS n_dups,
@@ -1156,6 +1194,7 @@ def _raw_oracles() -> dict[str, str]:
         "dmdt_events_kernel": _DMDT_SQL,
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        "contamination_documents": _CONTAMINATION_SQL,
         "language_id_documents": _lang_sql(),
         "quality_score_documents": _quality_sql(),
         "token_count_documents": _TOKEN_COUNT_SQL,

@@ -144,6 +144,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    max_df: int = 1000,
+    min_shared: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination: (eval_id, train_id, n_shared) for
+    every eval document sharing >= ``min_shared`` distinct n-grams with a
+    train document — the standard shared-shingle contamination check run
+    before an eval set is trusted. Same inverted-index shape as
+    :func:`ngram_jaccard_pairs` but ACROSS two corpora: grams hashed to
+    int64, document frequency pruned over the union (ultra-common grams
+    carry no contamination signal and quadratically inflate the join),
+    then one equi-join between the two gram tables. Never a cross join;
+    scales like the dedup suite."""
+    g_train = ensure_min_splits(train).select(
+        F.col("doc_id").alias("train_id"),
+        F.explode(
+            F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
+        ).alias("gram"),
+    )
+    g_eval = ensure_min_splits(eval_df).select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode(
+            F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
+        ).alias("gram"),
+    )
+    df_all = (
+        g_train.select("gram")
+        .unionByName(g_eval.select("gram"))
+        .groupBy("gram")
+        .count()
+        .filter(F.col("count") > max_df)
+        .select("gram")
+    )
+    g_train = g_train.join(df_all, "gram", "left_anti")
+    g_eval = g_eval.join(df_all, "gram", "left_anti")
+    return (
+        g_eval.join(g_train, "gram")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def _minhash_signature(gram_hashes: F.Column, num_hashes: int, seed: int = 42) -> F.Column:
     """MinHash signature as an array column, all JVM-side.
 

@@ -387,3 +387,39 @@ def test_top_k_per_key_ties_deterministic(spark):
         ).collect()
     )
     assert out == [2, 3]  # ties on v -> lowest ids win
+
+
+def test_cross_ngram_contamination(spark):
+    import pandas as pd
+
+    from light_curve_spark.operators.dedup import cross_ngram_contamination
+
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 2],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "completely unrelated training material here now",
+                ],
+            }
+        )
+    )
+    evals = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 3],
+                "text": [
+                    "a sentence with the quick brown fox inside it",  # leaks 2 grams
+                    "nothing in common with any training text",
+                ],
+            }
+        )
+    )
+    out = {
+        (r.eval_id, r.train_id): r.n_shared
+        for r in cross_ngram_contamination(
+            train, evals, n=3, max_df=100, min_shared=2
+        ).collect()
+    }
+    assert out == {(1, 0): 2}  # 'the quick brown' + 'quick brown fox'
