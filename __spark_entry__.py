@@ -372,6 +372,35 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+def q_events_in_signup_windows(spark, sf_dir):
+    """Range join (SURVEY §2.4): every event falling inside the 3-day
+    window after any signup of the same user, counted per signup. The
+    operator bucketizes both sides and equi-joins (no
+    BroadcastNestedLoopJoin — plan-asserted in tests); the oracle is the
+    naive theta join DuckDB can afford at sf0.01."""
+    from light_curve_spark.operators.rangejoin import interval_join
+
+    s = _events_series(spark, sf_dir)
+    _utc(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("start"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+            + F.lit(3.0 * DAY_US)
+        ).alias("end"),
+    )
+    joined = interval_join(
+        s, signups, keys=["user_id"], bucket_width=3.0 * DAY_US
+    )
+    return joined.groupBy("user_id", "signup_id").agg(
+        F.count("*").alias("n_events"),
+        _r6(F.sum("v")).alias("v_sum"),
+    )
+
+
 def q_eta_trend_events(spark, sf_dir):
     from light_curve_spark.operators.features import series_dynamics_relational
 
@@ -691,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_events": q_retention_events,
         "rolling_mean_events": q_rolling_mean_events,
         "asof_join_events": q_asof_join_events,
+        "events_in_signup_windows": q_events_in_signup_windows,
         "eta_trend_events": q_eta_trend_events,
         "dmdt_events": q_dmdt_events,
         "dmdt_events_kernel": q_dmdt_events_kernel,
@@ -1189,6 +1219,22 @@ def _raw_oracles() -> dict[str, str]:
         "retention_events": _RETENTION_SQL,
         "rolling_mean_events": _ROLLING_SQL,
         "asof_join_events": _ASOF_SQL,
+        "events_in_signup_windows": """
+WITH p AS (
+  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS t, value AS v FROM events
+),
+s AS (
+  SELECT user_id, event_id AS signup_id,
+         CAST(epoch_us(ts) AS DOUBLE) AS st,
+         CAST(epoch_us(ts) AS DOUBLE) + 3.0 * 86400000000.0 AS en
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.user_id, s.signup_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(p.v), 6) AS v_sum
+FROM p JOIN s ON p.user_id = s.user_id AND p.t >= s.st AND p.t <= s.en
+GROUP BY 1, 2
+""",
         "eta_trend_events": _ETA_TREND_SQL,
         "dmdt_events": _DMDT_SQL,
         "dmdt_events_kernel": _DMDT_SQL,

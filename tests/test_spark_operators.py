@@ -567,3 +567,34 @@ def test_rollup_arrays_empty_sequences_and_fractional_width(spark):
         rollup_quantiles_arrays(empty, base_width=16.5)
     with _pytest.raises(ValueError):
         rollup_tiers_arrays(empty, base_width=0)
+
+
+def test_interval_join_semantics_and_plan(spark):
+    """Range join: inclusive bounds, bucket-crossing intervals, and the
+    plan must be an equi-join (no BroadcastNestedLoopJoin)."""
+    import pandas as pd
+
+    from light_curve_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"] * 5, "t": [0.0, 5.0, 10.0, 15.0, 25.0], "v": [1, 2, 3, 4, 5]}
+        )
+    )
+    ivals = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a"], "iid": [1, 2], "start": [5.0, 14.0], "end": [10.0, 30.0]}
+        )
+    )
+    out = sorted(
+        (r.iid, r.t)
+        for r in interval_join(points, ivals, keys=["k"], bucket_width=4.0).collect()
+    )
+    assert out == [(1, 5.0), (1, 10.0), (2, 15.0), (2, 25.0)]  # inclusive ends
+    plan = (
+        interval_join(points, ivals, keys=["k"], bucket_width=4.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
