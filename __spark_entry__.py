@@ -335,6 +335,20 @@ def q_retention_events(spark, sf_dir):
     return _round_rollup(kept)
 
 
+def q_sessions_events(spark, sf_dir):
+    """Sessionization (SURVEY §2.6): per-user sessions split at 2-day
+    inactivity gaps, summarized as (user_id, session_id, n_events,
+    duration_us, v_sum)."""
+    from light_curve_spark.operators.series import sessionize
+
+    s = sessionize(_events_series(spark, sf_dir), gap=2.0 * DAY_US, keys=["user_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+        _r6(F.sum("v")).alias("v_sum"),
+    )
+
+
 def q_rolling_mean_events(spark, sf_dir):
     """4-row trailing rolling mean per user in time order (window frame
     rowsBetween(-3, 0) — SURVEY §2.6 frame-spec coverage)."""
@@ -719,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram_events": q_periodogram_events,
         "retention_events": q_retention_events,
         "rolling_mean_events": q_rolling_mean_events,
+        "sessions_events": q_sessions_events,
         "asof_join_events": q_asof_join_events,
         "events_in_signup_windows": q_events_in_signup_windows,
         "eta_trend_events": q_eta_trend_events,
@@ -1218,6 +1233,27 @@ def _raw_oracles() -> dict[str, str]:
         "periodogram_events": _periodogram_sql(),
         "retention_events": _RETENTION_SQL,
         "rolling_mean_events": _ROLLING_SQL,
+        "sessions_events": """
+WITH s AS (
+  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS t, value AS v FROM events
+),
+flagged AS (
+  SELECT user_id, t, v,
+         CASE WHEN t - lag(t) OVER w > 2.0 * 86400000000.0 THEN 1 ELSE 0 END AS is_new
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t, v)
+),
+sess AS (
+  SELECT user_id, t, v,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t, v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(t) - min(t) AS duration_us,
+       round(sum(v), 6) AS v_sum
+FROM sess GROUP BY 1, 2
+""",
         "asof_join_events": _ASOF_SQL,
         "events_in_signup_windows": """
 WITH p AS (

@@ -21,6 +21,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sessionize(
+    series: DataFrame,
+    gap: float,
+    keys: list[str] | None = None,
+    t_col: str = "t",
+) -> DataFrame:
+    """Assign a per-key ``session_id`` by inactivity gap: a new session
+    starts when the time since the previous point exceeds ``gap``. The
+    classic event-stream segmentation, as two stacked windows over ONE
+    key partitioning (lag -> boundary flag -> running sum); Catalyst
+    reuses the exchange, so it costs a single shuffle. Ties in ``t_col``
+    are ordered deterministically by the remaining columns."""
+    keys = keys or ["doc_id"]
+    order = [F.col(t_col)] + [
+        F.col(c) for c in series.columns if c not in keys and c != t_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    is_new = (
+        F.when(F.col(t_col) - F.lag(t_col).over(w) > gap, 1)
+        .otherwise(0)
+    )
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return series.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(run)
+    ).drop("_new")
+
+
 def ensure_double_series(
     series: DataFrame, cols: tuple[str, ...] = ("t", "v")
 ) -> DataFrame:

@@ -598,3 +598,26 @@ def test_interval_join_semantics_and_plan(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_gap_semantics(spark):
+    import pandas as pd
+
+    from light_curve_spark.operators.series import sessionize
+
+    s = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a"] * 6 + ["b"],
+                "t": [0.0, 1.0, 2.0, 10.0, 11.0, 30.0, 0.0],
+                "v": [1.0] * 7,
+            }
+        )
+    )
+    out = {
+        (r.doc_id, r.t): r.session_id for r in sessionize(s, gap=5.0).collect()
+    }
+    assert out[("a", 0.0)] == out[("a", 1.0)] == out[("a", 2.0)] == 0
+    assert out[("a", 10.0)] == out[("a", 11.0)] == 1
+    assert out[("a", 30.0)] == 2
+    assert out[("b", 0.0)] == 0  # sessions are per key
