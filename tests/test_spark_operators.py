@@ -621,3 +621,41 @@ def test_sessionize_gap_semantics(spark):
     assert out[("a", 10.0)] == out[("a", 11.0)] == 1
     assert out[("a", 30.0)] == 2
     assert out[("b", 0.0)] == 0  # sessions are per key
+
+
+def test_rollup_quantiles_approx_bounds_error(spark, seq100):
+    """The sketch path (scale option) must land within rank-error bounds
+    of the exact median: with accuracy >> bucket sizes it is exact on
+    this data."""
+    from light_curve_spark.operators.rollup import (
+        rollup_quantiles,
+        rollup_quantiles_approx,
+    )
+    from light_curve_spark.operators.series import explode_series
+
+    series = explode_series(seq100)
+    exact = {
+        (r.doc_id, r.tier, r.bucket): r.v_median
+        for r in rollup_quantiles(series, base_width=16).collect()
+    }
+    approx = {
+        (r.doc_id, r.tier, r.bucket): r.p50
+        for r in rollup_quantiles_approx(series, base_width=16).collect()
+    }
+    assert set(exact) == set(approx)
+    # GK at this accuracy is rank-exact: it returns a real element at
+    # the median rank, while the exact path interpolates between the two
+    # middles — so the sketch must sit inside the exact IQR envelope and
+    # within half the bucket's value range of the exact median
+    from light_curve_spark.operators.rollup import rollup_tiers
+
+    spans = {
+        (r.doc_id, r.tier, r.bucket): (r.v_min, r.v_max)
+        for r in rollup_tiers(
+            series, keys=["doc_id", "source"], base_width=16
+        ).collect()
+    }
+    for k, med in exact.items():
+        lo, hi = spans[k]
+        assert lo <= approx[k] <= hi
+        assert abs(approx[k] - med) <= (hi - lo) / 2 + 1e-9
