@@ -438,8 +438,10 @@ def q_dmdt_events(spark, sf_dir):
 def q_dmdt_events_kernel(spark, sf_dir):
     from light_curve_spark.operators.dmdt import dmdt_kernel
 
+    # max_points=None pins the EXACT path for the oracle hash; the
+    # library default is a bounded "auto" cap (mega-key OOM guard)
     return dmdt_kernel(
-        _events_series(spark, sf_dir), keys=["user_id"], **_DMDT_ARGS
+        _events_series(spark, sf_dir), keys=["user_id"], max_points=None, **_DMDT_ARGS
     )
 
 

@@ -39,8 +39,9 @@ Values (§4.1.2, one deliberate deviation):
 Both encoders are fully vectorized: per-element payloads are materialized
 as (hi, lo) uint64 pairs + bit lengths, then flattened to a bit array with
 repeat/cumsum indexing and np.packbits — no per-element Python in encode.
-Decode is an inherently sequential bit-walk (as in the reference
-implementation of Gorilla); it runs chunk-at-a-time inside pandas UDFs.
+Decode of the default xor-blocked codec is vectorized batch-wide
+(block envelopes decode with numpy gathers; see decode_values_batch_blocked);
+only the legacy irregular-stream fallback decodes as a sequential bit-walk.
 """
 
 from __future__ import annotations

@@ -247,15 +247,30 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
                 if toks[i] is None:
                     toks[i] = decoders[c](bufs[i])
 
-            t_off = np.zeros(len(ts) + 1, dtype=np.int32)
-            t_off[1:] = np.cumsum(
+            t_cum = np.cumsum(
                 np.fromiter((a.shape[0] for a in ts), dtype=np.int64, count=len(ts))
             )
-            t_flat = np.concatenate(ts)
-            tok_off = np.zeros(len(toks) + 1, dtype=np.int32)
-            tok_off[1:] = np.cumsum(
+            tok_cum = np.cumsum(
                 np.fromiter((a.shape[0] for a in toks), dtype=np.int64, count=len(toks))
             )
+            # ListArray offsets are int32: a batch whose decoded total
+            # exceeds 2^31-1 elements would silently wrap — fail loudly
+            # instead (split the batch via maxRecordsPerBatch if ever hit)
+            total = max(
+                int(t_cum[-1]) if len(t_cum) else 0,
+                int(tok_cum[-1]) if len(tok_cum) else 0,
+            )
+            if total > np.iinfo(np.int32).max:
+                raise OverflowError(
+                    f"decoded Arrow batch holds {total} elements, exceeding "
+                    "int32 list offsets; lower spark.sql.execution.arrow."
+                    "maxRecordsPerBatch"
+                )
+            t_off = np.zeros(len(ts) + 1, dtype=np.int32)
+            t_off[1:] = t_cum
+            t_flat = np.concatenate(ts)
+            tok_off = np.zeros(len(toks) + 1, dtype=np.int32)
+            tok_off[1:] = tok_cum
             tok_flat = np.concatenate(toks).view(np.int64).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [

@@ -316,11 +316,28 @@ def simhash(text_col: str = "text", bits: int = 64) -> F.Column:
     return out
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut iterative-join lineage, durably when possible.
+
+    ``localCheckpoint`` stores blocks on executors only — on a real
+    cluster an executor loss after the source caches are released loses
+    partitions and FAILS the job instead of recomputing. When the session
+    has a reliable checkpoint dir configured
+    (``sc.setCheckpointDir(...)``, HDFS/object-store on a cluster), use a
+    real ``checkpoint`` so the result survives executor churn; fall back
+    to localCheckpoint in local/dev sessions."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    algorithm: str = "label-prop",
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, keep_id):
     every member of a duplicate cluster labeled with the cluster's
@@ -329,59 +346,155 @@ def dedup_clusters(
     pair emitters (ngram/minhash/simhash) say who MATCHES whom; this
     says which row to KEEP.
 
-    Iterative min-label propagation, all declarative: each round joins
-    the undirected edge list against current labels and takes the min
-    over the closed neighborhood; labels are persisted per round via the
-    cache registry and released on convergence. Rounds needed = cluster
-    diameter — near-dup clusters are shallow in practice (pairs within a
-    cluster are mutually similar), and ``max_iter`` guards adversarial
-    chains. The per-round plan is one shuffle join + one groupBy — at
-    100 TB each round is AQE-owned and label tables shrink as clusters
-    collapse; for graphs with huge diameters swap in the
-    large-star/small-star variant (same join shapes, path doubling).
-    """
-    from light_curve_spark.plans.caching import cached, release_operator_caches
+    ``algorithm='label-prop'`` (default): iterative min-label
+    propagation, all declarative — each round joins the undirected edge
+    list against current labels and takes the min over the closed
+    neighborhood. Rounds needed = cluster diameter; near-dup clusters are
+    shallow in practice (pairs within a cluster are mutually similar).
+    The per-round plan is one shuffle join + one groupBy, AQE-owned, and
+    label tables shrink as clusters collapse.
 
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = cached(
-        fwd.unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-    )
-    labels = cached(
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("keep_id", F.col("doc_id"))
-    )
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("keep_id").alias("nbr_min"))
-        )
-        new_labels = cached(
-            labels.join(nbr, "doc_id", "left").select(
-                "doc_id",
-                F.least(
-                    F.col("keep_id"), F.coalesce(F.col("nbr_min"), F.col("keep_id"))
-                ).alias("keep_id"),
+    ``algorithm='star'``: the large-star/small-star edge contraction of
+    Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    converges in O(log n) rounds even on huge-diameter graphs (a chained
+    corpus where every doc matches only its neighbor), where label
+    propagation needs diameter rounds. Same join shapes per round (one
+    groupBy-min + one equi-join per star step).
+
+    Per-round intermediates are persisted in a scoped registry (released
+    on exit WITHOUT touching caches other in-flight operators hold), and
+    the result's lineage is truncated durably when a checkpoint dir is
+    configured (see :func:`_truncate_lineage`).
+    """
+    from light_curve_spark.plans.caching import cache_scope, cached
+
+    if algorithm == "star":
+        with cache_scope():
+            labels, _ = _star_labels(pairs, a_col, b_col, max_iter)
+            labels = _truncate_lineage(labels)
+        return labels
+    if algorithm != "label-prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}: label-prop | star")
+
+    with cache_scope():
+        fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        edges = cached(
+            fwd.unionByName(
+                pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.keep_id") != F.col("o.keep_id"))
-            .limit(1)
-            .count()
+        labels = cached(
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("keep_id", F.col("doc_id"))
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    # truncate the iteration's join lineage (distributed, no driver
-    # collect) so the per-round caches can be released safely
-    labels = labels.localCheckpoint(eager=True)
-    release_operator_caches()
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("keep_id").alias("nbr_min"))
+            )
+            new_labels = cached(
+                labels.join(nbr, "doc_id", "left").select(
+                    "doc_id",
+                    F.least(
+                        F.col("keep_id"), F.coalesce(F.col("nbr_min"), F.col("keep_id"))
+                    ).alias("keep_id"),
+                )
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.keep_id") != F.col("o.keep_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        # truncate the iteration's join lineage (distributed, no driver
+        # collect) so the per-round caches can be released safely
+        labels = _truncate_lineage(labels)
     return labels
+
+
+def _star_labels(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star contraction -> ((doc_id, keep_id), rounds).
+
+    Each round: LARGE-STAR connects every strictly-larger neighbor of a
+    node to the minimum of its closed neighborhood; SMALL-STAR connects
+    the smaller neighbors (and the node) to that minimum. Alternating the
+    two halves the height of any path, so a 1000-link chain converges in
+    ~log rounds. Edges are kept canonical (hi, lo) and distinct; at
+    convergence every edge points straight at its cluster root."""
+    from light_curve_spark.plans.caching import cached
+
+    edges = cached(
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        ).select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", "u").alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # canonical edges already have hi > lo, so min over lo-neighbors
+        # IS the closed-neighborhood min
+        m = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        to_nbrs = (
+            e.join(m, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        to_self = m.select(F.col("hi"), F.col("m").alias("lo"))
+        return (
+            to_nbrs.unionByName(to_self)
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        new_edges = cached(_truncate_lineage(small_star(large_star(edges))))
+        same_size = new_edges.count() == edges.count()
+        unchanged = (
+            same_size
+            and new_edges.join(edges, ["hi", "lo"], "left_anti").limit(1).count() == 0
+        )
+        edges = new_edges
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds "
+            "(O(log n) expected — check for non-deterministic ids)"
+        )
+
+    sym = edges.unionByName(
+        edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+    )
+    labels = (
+        sym.groupBy(F.col("hi").alias("doc_id"))
+        .agg(F.min("lo").alias("mn"))
+        .select("doc_id", F.least("mn", "doc_id").alias("keep_id"))
+    )
+    return labels, rounds
 
 
 def simhash_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:

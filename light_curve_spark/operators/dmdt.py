@@ -11,13 +11,17 @@ Two implementations:
   partial+final aggregate gathers each key's points into an array row;
   the kernel batch then loops keys in numpy only (no per-group Spark
   dispatch — same pattern as features.extract_features_grouped, which
-  measured ~7x over per-group applyInPandas). O(n^2) pairs per key: pass
-  ``max_points`` to deterministically downsample mega-keys (every k-th
+  measured ~7x over per-group applyInPandas). O(n^2) pairs per key:
+  ``max_points`` deterministically downsamples mega-keys (every k-th
   point in time order) — the skew guard for pairwise operators at scale.
-  Default is None (exact) so oracle-checked runs can never silently
-  diverge.
+  Default is ``"auto"`` (= DEFAULT_MAX_POINTS): a single 10^6-point key
+  would otherwise materialize a ~8 TB pair matrix and OOM the worker.
+  Oracle-checked runs pass ``max_points=None`` EXPLICITLY to pin the
+  exact path (and accept the quadratic cost knowingly).
 - :func:`dmdt_relational` — time-ordered self-join twin (SQL-checkable,
-  the DuckDB oracle in __spark_entry__).
+  the DuckDB oracle in __spark_entry__). Deliberately quadratic — it is
+  the ORACLE BASELINE; a ``max_input_rows`` ceiling refuses real-corpus
+  inputs and points at the kernel as the scale twin.
 
 Tie semantics: both paths drop tied-timestamp pairs (strict ``a.t <
 b.t`` / ``dt > 0``), so they agree on any input.
@@ -33,6 +37,11 @@ from pyspark.sql.types import LongType, StructField, StructType
 from light_curve_spark.kernels.features import dmdt_counts
 from light_curve_spark.kernels.sorting import cosort
 
+# 4096 points -> a 4096x4096 f64 pair matrix = 134 MB per temporary
+# (dmdt_counts holds ~3) — bounded well under an executor-core budget,
+# while exact for every real-survey cadence (ZTF fields are ~10^3 points)
+DEFAULT_MAX_POINTS = 4096
+
 
 def dmdt_kernel(
     series: DataFrame,
@@ -42,11 +51,13 @@ def dmdt_kernel(
     n_dm: int,
     dm_offset: float,
     keys: list[str] | None = None,
-    max_points: int | None = None,
+    max_points: int | None | str = "auto",
 ) -> DataFrame:
     """(key..., dt_bin, dm_bin, n_pairs), zero rows for empty cells."""
     import pyarrow as pa
 
+    if max_points == "auto":
+        max_points = DEFAULT_MAX_POINTS
     keys = keys or ["doc_id"]
     in_fields = {f.name: f for f in series.schema.fields}
     schema = StructType(
@@ -111,9 +122,21 @@ def dmdt_relational(
     n_dm: int,
     dm_offset: float,
     keys: list[str] | None = None,
+    max_input_rows: int = 5_000_000,
 ) -> DataFrame:
     """Self-join twin: same math as the kernel (the pair order i<j is
-    'a.t < b.t', so tied timestamps contribute no pair — both paths)."""
+    'a.t < b.t', so tied timestamps contribute no pair — both paths).
+
+    ORACLE BASELINE, deliberately O(n^2)-per-key: refuses inputs above
+    ``max_input_rows`` so nobody points it at a real corpus — use
+    :func:`dmdt_kernel` (bounded max_points) as the scale twin."""
+    n = series.count()
+    if n > max_input_rows:
+        raise ValueError(
+            f"dmdt_relational is the quadratic oracle baseline; input has "
+            f"{n} rows > max_input_rows={max_input_rows}. Use dmdt_kernel "
+            "for real corpora."
+        )
     keys = keys or ["doc_id"]
     a = series.alias("a")
     b = series.alias("b")

@@ -32,7 +32,18 @@ def interval_join(
     how: str = "inner",
 ) -> DataFrame:
     """Rows of ``points`` paired with every interval (same keys) whose
-    [start, end] contains their ``t_col`` (inclusive both ends)."""
+    [start, end] contains their ``t_col`` (inclusive both ends).
+
+    Only ``how='inner'`` is supported: the containment predicate is applied
+    as a post-join filter, which would silently drop the null-padded rows
+    an outer join is supposed to keep (degrading 'left'/'outer' to inner).
+    """
+    if how != "inner":
+        raise ValueError(
+            "interval_join supports how='inner' only: the containment "
+            "predicate is a post-join filter and would drop outer-join "
+            f"null rows (got how={how!r})"
+        )
     exploded = intervals.withColumn(
         "_bucket",
         F.explode(

@@ -129,11 +129,21 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_input_rows: int = 50_000,
 ) -> DataFrame:
     """Exact near-duplicate pairs by embedding cosine: (id_a, id_b,
     cosine) for all pairs with cosine >= threshold. The exact O(n^2)
     baseline (self-join) — use :func:`embedding_cosine_pairs_lsh` at
-    scale; this one exists as the correctness oracle and for small dims."""
+    scale; this one exists as the correctness oracle and for small dims.
+    Refuses inputs above ``max_input_rows`` (50k rows is already 1.25e9
+    candidate pairs) so nobody points the oracle at a real corpus."""
+    rows = emb.count()
+    if rows > max_input_rows:
+        raise ValueError(
+            f"embedding_cosine_pairs is the quadratic oracle baseline; "
+            f"input has {rows} rows > max_input_rows={max_input_rows}. "
+            "Use embedding_cosine_pairs_lsh for real corpora."
+        )
     n = emb.select(
         F.col(id_col),
         _f64(vec_col).alias("_v"),
@@ -225,7 +235,25 @@ def train_ivf_centroids(
         emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
     X = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
-    cents = X[:n_centroids].copy()
+    if X.shape[0] < n_centroids:
+        raise ValueError(
+            f"IVF training sample has {X.shape[0]} vectors < n_centroids="
+            f"{n_centroids}; lower n_centroids or raise sample_size "
+            "(silently training fewer/duplicate centroids would leave "
+            "permanently empty buckets and weaken nprobe pruning)"
+        )
+    # duplicate leading vectors would seed identical centroids that Lloyd
+    # never separates (first-min assignment starves the copy) — seed with
+    # the first n_centroids DISTINCT sample vectors instead, still a pure
+    # deterministic function of the data
+    _, first_idx = np.unique(X, axis=0, return_index=True)
+    distinct = X[np.sort(first_idx)]
+    if distinct.shape[0] < n_centroids:
+        raise ValueError(
+            f"IVF training sample has only {distinct.shape[0]} distinct "
+            f"vectors < n_centroids={n_centroids}; lower n_centroids"
+        )
+    cents = distinct[:n_centroids].copy()
     for _ in range(iters):
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = np.argmin(d2, axis=1)  # first-min tie break

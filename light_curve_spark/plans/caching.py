@@ -17,6 +17,8 @@ orders of magnitude smaller than raw, and spilling beats recomputing.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -32,12 +34,13 @@ def cached(
     return df
 
 
-def release_operator_caches() -> int:
-    """Unpersist every operator-cached DataFrame registered since the
-    last release; returns how many were released. Safe to call anytime —
-    lazily-defined queries simply recompute after release."""
+def release_operator_caches(since: int = 0) -> int:
+    """Unpersist operator-cached DataFrames registered after position
+    ``since`` (default: all of them); returns how many were released.
+    Safe to call anytime — lazily-defined queries simply recompute after
+    release."""
     n = 0
-    while _ACTIVE:
+    while len(_ACTIVE) > since:
         df = _ACTIVE.pop()
         try:
             df.unpersist()
@@ -45,3 +48,19 @@ def release_operator_caches() -> int:
         except Exception:  # noqa: BLE001 — session may already be gone
             pass
     return n
+
+
+@contextmanager
+def cache_scope():
+    """Release ONLY the caches registered inside the ``with`` block.
+
+    Library operators that persist internally (e.g. the per-round label
+    tables of dedup_clusters) must not unpersist caches registered by
+    OTHER in-flight operators — a global release is correct but forces
+    silent full recomputes on composed pipelines. The scope snapshots the
+    registry position on entry and pops back to it on exit."""
+    start = len(_ACTIVE)
+    try:
+        yield
+    finally:
+        release_operator_caches(since=start)

@@ -406,7 +406,18 @@ def ivf_ann_topk_ref(
 
     ordered = sorted(embeddings)[:sample_size]
     X = np.array([v for _, v in ordered], dtype=np.float64)
-    cents = X[:n_centroids].copy()
+    if len(X) < n_centroids:
+        raise ValueError("sample smaller than n_centroids")
+    # spec (r3): seed with the first n_centroids DISTINCT sample vectors
+    # (first occurrence order) so duplicate leading vectors can't seed
+    # identical centroids
+    seen: list = []
+    for row in X:
+        if not any((row == s).all() for s in seen):
+            seen.append(row)
+    if len(seen) < n_centroids:
+        raise ValueError("fewer distinct sample vectors than n_centroids")
+    cents = np.stack(seen[:n_centroids]).copy()
     for _ in range(iters):
         groups: dict[int, list[np.ndarray]] = {}
         for row in X:

@@ -1,0 +1,194 @@
+"""Round-3 hardening: star-contraction connected components, durable
+checkpointing, quadratic-baseline guards, scoped cache release, dmdt
+mega-key cap, IVF seed validation."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _perm(n: int, seed: int = 7) -> list[int]:
+    """Deterministic permutation of range(n) (no RNG in tests either)."""
+    keys = (np.arange(n, dtype=np.int64) * 48271 + seed) % 2147483647
+    return [int(x) for x in np.argsort(keys, kind="stable")]
+
+
+def test_dedup_clusters_star_chain_converges_in_log_rounds(spark):
+    """A 1000-link chain (diameter 1000) must converge in O(log n)
+    large-star/small-star rounds — label propagation would need ~1000."""
+    from light_curve_spark.operators.dedup import _star_labels
+
+    ids = _perm(1001)
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
+    ).repartition(4)
+    labels, rounds = _star_labels(pairs, "doc_a", "doc_b", max_iter=50)
+    out = {r.doc_id: r.keep_id for r in labels.collect()}
+    assert rounds <= 16, f"star contraction took {rounds} rounds on a 1000-chain"
+    assert len(out) == 1001
+    assert set(out.values()) == {0}
+
+
+def test_dedup_clusters_star_matches_label_prop(spark):
+    from light_curve_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_a": [1, 2, 9, 20, 40, 41], "doc_b": [2, 3, 1, 21, 41, 42]}
+        )
+    )
+    lp = {r.doc_id: r.keep_id for r in dedup_clusters(pairs).collect()}
+    st = {
+        r.doc_id: r.keep_id
+        for r in dedup_clusters(pairs, algorithm="star").collect()
+    }
+    assert lp == st == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 40: 40, 41: 40, 42: 40}
+
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup_clusters(pairs, algorithm="bogus")
+
+
+def test_truncate_lineage_uses_reliable_checkpoint_when_configured(spark, tmp_path):
+    """With a checkpoint dir configured the lineage cut must be a real
+    (fault-tolerant) checkpoint — files land in the dir; localCheckpoint
+    (executor-local blocks) is only the local-mode fallback."""
+    from light_curve_spark.operators.dedup import _truncate_lineage, dedup_clusters
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    df = spark.range(10)
+    out = _truncate_lineage(df)
+    assert out.count() == 10  # localCheckpoint fallback path
+
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        out = _truncate_lineage(spark.range(10))
+        assert out.count() == 10
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckpt)
+            for f in fs
+        ]
+        assert files, "reliable checkpoint wrote nothing to the checkpoint dir"
+        # end-to-end: the operator's result survives with the same values
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})
+        )
+        out = {r.doc_id: r.keep_id for r in dedup_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+    finally:
+        # restore the local-mode posture for the rest of the session
+        # ($-named scala setter is not a valid python identifier)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    assert sc.getCheckpointDir() is None
+
+
+def test_dmdt_kernel_auto_cap_bounds_mega_key(spark):
+    """Default max_points='auto' must cap the per-key pair expansion so a
+    100k-point key completes with a bounded pair matrix instead of
+    materializing 10^10 pairs; the capped result equals an explicit
+    max_points=DEFAULT_MAX_POINTS run."""
+    from light_curve_spark.operators.dmdt import DEFAULT_MAX_POINTS, dmdt_kernel
+
+    n = 100_000
+    series = (
+        spark.range(n)
+        .select(
+            F.lit("k").alias("doc_id"),
+            F.col("id").cast("double").alias("t"),
+            F.pmod(F.col("id") * 37, F.lit(101)).cast("double").alias("v"),
+        )
+    )
+    args = dict(dt_width=1e4, dm_width=20.0, n_dt=10, n_dm=10, dm_offset=100.0)
+    got = {
+        (r.dt_bin, r.dm_bin): r.n_pairs for r in dmdt_kernel(series, **args).collect()
+    }
+    total = sum(got.values())
+    step = -(-n // DEFAULT_MAX_POINTS)  # ceil
+    kept = -(-n // step)
+    assert 0 < total <= kept * (kept - 1) // 2
+    explicit = {
+        (r.dt_bin, r.dm_bin): r.n_pairs
+        for r in dmdt_kernel(series, max_points=DEFAULT_MAX_POINTS, **args).collect()
+    }
+    assert got == explicit
+
+
+def test_quadratic_oracle_baselines_refuse_oversized_input(spark):
+    from light_curve_spark.operators.dmdt import dmdt_relational
+    from light_curve_spark.operators.similarity import embedding_cosine_pairs
+
+    series = spark.range(10).select(
+        F.lit("k").alias("doc_id"),
+        F.col("id").cast("double").alias("t"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(ValueError, match="quadratic oracle baseline"):
+        dmdt_relational(
+            series, dt_width=1.0, dm_width=1.0, n_dt=2, n_dm=2, dm_offset=1.0,
+            max_input_rows=5,
+        )
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="quadratic oracle baseline"):
+        embedding_cosine_pairs(emb, max_input_rows=5)
+
+
+def test_interval_join_rejects_non_inner(spark):
+    from light_curve_spark.operators.rangejoin import interval_join
+
+    pts = spark.range(3).select(F.lit("k").alias("key"), F.col("id").cast("double").alias("t"))
+    iv = spark.range(1).select(
+        F.lit("k").alias("key"), F.lit(0.0).alias("start"), F.lit(5.0).alias("end")
+    )
+    with pytest.raises(ValueError, match="inner"):
+        interval_join(pts, iv, keys=["key"], bucket_width=1.0, how="left")
+
+
+def test_cache_scope_releases_only_inner_caches(spark):
+    from light_curve_spark.plans.caching import (
+        cache_scope,
+        cached,
+        release_operator_caches,
+    )
+
+    outer = cached(spark.range(5))
+    try:
+        with cache_scope():
+            inner = cached(spark.range(7))
+            assert inner.is_cached
+        assert not inner.is_cached
+        assert outer.is_cached, "scope released a cache it did not register"
+    finally:
+        release_operator_caches()
+    assert not outer.is_cached
+
+
+def test_ivf_seed_validation_and_distinct_seeds(spark):
+    from light_curve_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [2.0, 2.0]],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="n_centroids"):
+        train_ivf_centroids(emb, n_centroids=8)
+    # duplicate leading vectors must not seed duplicate centroids
+    cents = train_ivf_centroids(emb, n_centroids=3, iters=0)
+    assert [list(c) for c in cents] == [[1.0, 0.0], [0.0, 1.0], [2.0, 2.0]]
+    # and fewer DISTINCT vectors than centroids is an error too
+    with pytest.raises(ValueError, match="distinct"):
+        train_ivf_centroids(emb, n_centroids=4)
