@@ -636,6 +636,38 @@ def q_media_features(spark, sf_dir):
     return out.select("media_id", "kind", "n_bytes", _r6(F.col("feature")[0]).alias("f0"))
 
 
+def q_media_features_real(spark, sf_dir):
+    """REAL media decode — kernels/media.py's pure-numpy WAV/PCM, BMP,
+    PPM and YUV4MPEG2 parsers over the committed fixtures/media files,
+    ingested through Spark's binaryFile source (the actual media-blob
+    ingest path at scale). Oracle: scalar stdlib-only reference decoders
+    (scripts/oracle_impl.py wav/image/y4m_features_ref). Feature sums
+    accumulate in exact int64 on both sides, so values match raw; _r6 is
+    belt-and-braces on the derived floats."""
+    from light_curve_spark.operators.multimodal import decode_and_featurize
+
+    media_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "media"
+    )
+    pat = r"(\d+)_(audio|image|video)\.\w+$"
+    media = (
+        spark.read.format("binaryFile")
+        .load(media_dir)
+        .select(
+            F.regexp_extract("path", pat, 1).cast("long").alias("media_id"),
+            F.regexp_extract("path", pat, 2).alias("kind"),
+            F.col("content").alias("payload"),
+        )
+    )
+    out = decode_and_featurize(media, fake=False)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[_r6(F.col("feature")[i]).alias(f"f{i}") for i in range(8)],
+    )
+
+
 def q_rollup_quantiles_sequences(spark, sf_dir):
     """Array-native exact per-tier median/MAD over the synthetic
     sequences (zero shuffle; 4.3x pipeline speedup vs the exploded
@@ -761,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_quantiles_sequences": q_rollup_quantiles_sequences,
         "periodogram_sequences": q_periodogram_sequences,
         "media_features": q_media_features,
+        "media_features_real": q_media_features_real,
         "downsample_lttb_events": q_downsample_lttb_events,
         "sample_documents": q_sample_documents,
         "topk_events_per_user": q_topk_events_per_user,
@@ -1343,6 +1376,11 @@ SELECT user_id, event_id, value FROM (
         "media_features": _fixture_sql(
             "media_60.parquet",
             "media_id, kind, n_bytes, round(f0, 6) AS f0",
+        ),
+        "media_features_real": _fixture_sql(
+            "media_real.parquet",
+            "media_id, kind, n_bytes, "
+            + ", ".join(f"round(f{i}, 6) AS f{i}" for i in range(8)),
         ),
         "downsample_lttb_events": _fixture_sql(
             "lttb_events.parquet", "user_id, t, v"

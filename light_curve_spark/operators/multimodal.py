@@ -2,11 +2,13 @@
 with typed metadata (driver mandate).
 
 The Spark-side machinery — schemas, batch shapes, partition sizing, UDF
-signatures — is real and tested; the actual media decode is stubbed
-(this container has no image/audio libs): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (splitmix64 over the byte payload) stands in
-so the pipeline shape is exercisable end-to-end.
+signatures — is real and tested, and so is the default decode path:
+``kernels/media.py`` parses WAV/PCM audio, BMP + PPM images, and
+YUV4MPEG2 video with pure numpy (no external media libs). Exotic codecs
+(JPEG/MP3/H.264) are out of scope in this container — a production
+deployment swaps pillow/pyav into the same kernel seam. ``fake=True``
+keeps the deterministic splitmix64 byte-moment decoder for synthetic
+corpora where payloads are not real containers.
 
 Scale notes: media rows are BYTES-heavy, not row-heavy, so operators here
 repartition by estimated byte weight (same policy as
@@ -110,25 +112,29 @@ def decode_and_featurize(
 ) -> DataFrame:
     """Decode payloads and emit a fixed-dim feature vector per item.
 
-    Real decode is a STUB: with ``fake=False`` this raises
-    NotImplementedError inside the kernel (surfacing exactly where a real
-    pillow/torchaudio/pyav decode would plug in). ``fake=True`` computes
-    deterministic moment features over the raw bytes so the full Spark
-    path (schema, Arrow batches, downstream joins) runs."""
+    Default path: REAL pure-numpy decode (kernels/media.py) — WAV/PCM
+    audio -> [rate, channels, frames, mean, rms, min, max, zcr]; BMP/PPM
+    image -> [w, h, mean_rgb..., std, min, max]; y4m video ->
+    [frames, w, h, fps, plane means, std_y]. Unsupported containers
+    raise ValueError (decode failures must surface, not zero-fill).
+    ``fake=True`` computes deterministic byte-moment features instead,
+    for synthetic corpora whose payloads are not real containers."""
+    from light_curve_spark.kernels.media import media_features
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires image/audio libraries not present in "
-                    "this environment; pass fake=True for the deterministic stub"
-                )
             feats, nbytes = [], []
-            for payload in pdf["payload"]:
-                data = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
-                nbytes.append(data.shape[0])
-                chunks = np.array_split(data, feat_dim)
-                feats.append(np.array([c.mean() if c.size else 0.0 for c in chunks]))
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                raw = bytes(payload)
+                nbytes.append(len(raw))
+                if fake:
+                    data = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                    chunks = np.array_split(data, feat_dim)
+                    feats.append(
+                        np.array([c.mean() if c.size else 0.0 for c in chunks])
+                    )
+                else:
+                    feats.append(np.asarray(media_features(kind, raw)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

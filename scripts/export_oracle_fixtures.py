@@ -37,6 +37,7 @@ from oracle_impl import (
     ivf_ann_topk_ref,
     lsh_ann_topk_ref,
     media_row_ref,
+    media_real_row_ref,
     minhash_lsh_pairs_ref,
     sequence_row_ref,
     simhash_pairs_ref,
@@ -189,6 +190,24 @@ def export_rollup_quantiles(n_rows: int = 300, seed: int = 42) -> None:
     )
 
 
+def export_media_real() -> None:
+    """Real-decode features over the committed fixtures/media files,
+    computed by the scalar stdlib-only reference decoders."""
+    media_dir = os.path.join(REPO, "fixtures", "media")
+    rows = []
+    for name in sorted(os.listdir(media_dir)):
+        with open(os.path.join(media_dir, name), "rb") as f:
+            buf = f.read()
+        media_id = int(name.split("_")[0])
+        kind = name.split("_")[1].split(".")[0]
+        rows.append(media_real_row_ref(media_id, kind, buf))
+    cols = ["media_id", "kind", "n_bytes"] + [f"f{i}" for i in range(8)]
+    pd.DataFrame(rows, columns=cols).astype(
+        {"media_id": "int64", "n_bytes": "int64"}
+        | {f"f{i}": "float64" for i in range(8)}
+    ).to_parquet(os.path.join(OUT, "media_real.parquet"), index=False)
+
+
 def export_media(n_rows: int = 60, seed: int = 42) -> None:
     rows = [media_row_ref(i, seed) for i in range(n_rows)]
     pd.DataFrame(rows, columns=["media_id", "kind", "n_bytes", "f0"]).astype(
@@ -263,5 +282,6 @@ if __name__ == "__main__":
     export_rollup_quantiles()
     print("sequences/periodogram/quantiles done")
     export_media()
+    export_media_real()
     export_lttb_events(sf_dir)
     print("all fixtures written to", OUT)

@@ -519,3 +519,195 @@ def media_row_ref(media_id: int, seed: int = 42, feat_dim: int = 8):
     chunk = data[:first_len]
     f0 = sum(chunk) / len(chunk) if chunk else 0.0
     return media_id, kinds[media_id % 3], len(data), f0
+
+
+# ---------------------------------------------------------------------------
+# real media decode reference (scalar loops + stdlib only — the
+# independent cross-check for kernels/media.py; spec: WAV/PCM 8/16-bit,
+# BMP 24bpp uncompressed, PPM P6 maxval<=255, y4m C444/C420)
+# ---------------------------------------------------------------------------
+
+
+def _le_ref(buf: bytes, off: int, n: int, signed: bool = False) -> int:
+    return int.from_bytes(buf[off : off + n], "little", signed=signed)
+
+
+def wav_features_ref(buf: bytes) -> list[float]:
+    import math
+
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = _le_ref(buf, pos + 4, 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks pad to even
+    channels = _le_ref(fmt, 2, 2)
+    rate = _le_ref(fmt, 4, 4)
+    bits = _le_ref(fmt, 14, 2)
+    samples: list[int] = []
+    if bits == 16:
+        usable = len(data) // (2 * channels) * (2 * channels)
+        for i in range(0, usable, 2):
+            samples.append(_le_ref(data, i, 2, signed=True))
+    else:
+        for i in range(len(data) // channels * channels):
+            samples.append(data[i] - 128)
+    n = len(samples)
+    frames = n // channels
+    s = ss = 0
+    mn, mx = samples[0], samples[0]
+    for x in samples:
+        s += x
+        ss += x * x
+        mn = min(mn, x)
+        mx = max(mx, x)
+    zcr = 0
+    prev_neg = samples[0] < 0
+    for f in range(1, frames):
+        neg = samples[f * channels] < 0
+        if neg != prev_neg:
+            zcr += 1
+        prev_neg = neg
+    return [
+        float(rate), float(channels), float(frames),
+        s / n, math.sqrt(ss / n), float(mn), float(mx), float(zcr),
+    ]
+
+
+def _bmp_pixels_ref(buf: bytes) -> list[list[tuple[int, int, int]]]:
+    off = _le_ref(buf, 10, 4)
+    w = _le_ref(buf, 18, 4, signed=True)
+    h = _le_ref(buf, 22, 4, signed=True)
+    assert _le_ref(buf, 28, 2) == 24 and _le_ref(buf, 30, 4) == 0
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    px = []
+    for row in range(h):
+        src = (h - 1 - row) if bottom_up else row
+        line = []
+        for x in range(w):
+            base = off + src * stride + x * 3
+            line.append((buf[base + 2], buf[base + 1], buf[base]))  # BGR->RGB
+        px.append(line)
+    return px
+
+
+def _ppm_pixels_ref(buf: bytes) -> list[list[tuple[int, int, int]]]:
+    assert buf[:2] == b"P6"
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        c = buf[pos : pos + 1]
+        if c == b"#":
+            while buf[pos : pos + 1] != b"\n":
+                pos += 1
+            pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            tok = b""
+            while not buf[pos : pos + 1].isspace():
+                tok += buf[pos : pos + 1]
+                pos += 1
+            tokens.append(int(tok))
+    pos += 1
+    w, h, maxval = tokens
+    assert maxval <= 255
+    px = []
+    for row in range(h):
+        line = []
+        for x in range(w):
+            base = pos + (row * w + x) * 3
+            line.append((buf[base], buf[base + 1], buf[base + 2]))
+        px.append(line)
+    return px
+
+
+def image_features_ref(buf: bytes) -> list[float]:
+    import math
+
+    px = _bmp_pixels_ref(buf) if buf[:2] == b"BM" else _ppm_pixels_ref(buf)
+    h, w = len(px), len(px[0])
+    n = w * h
+    sums = [0, 0, 0]
+    ss = 0
+    mn, mx = 255, 0
+    for line in px:
+        for r, g, b in line:
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+            for val in (r, g, b):
+                ss += val * val
+                mn = min(mn, val)
+                mx = max(mx, val)
+    all_n = n * 3
+    s = sums[0] + sums[1] + sums[2]
+    mean = s / all_n
+    var = ss / all_n - mean * mean
+    return [
+        float(w), float(h), sums[0] / n, sums[1] / n, sums[2] / n,
+        math.sqrt(var), float(mn), float(mx),
+    ]
+
+
+def y4m_features_ref(buf: bytes) -> list[float]:
+    import math
+
+    nl = buf.index(b"\n")
+    parts = buf[:nl].decode("ascii").split(" ")
+    assert parts[0] == "YUV4MPEG2"
+    w = h = None
+    fn, fd = 25, 1
+    cs = "C420"
+    for p in parts[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            fn, fd = (int(x) for x in p[1:].split(":"))
+        elif p.startswith("C"):
+            cs = p
+    if cs.startswith("C444"):
+        uw, uh = w, h
+    else:
+        assert cs.startswith("C420")
+        uw, uh = w // 2, h // 2
+    ysz, usz = w * h, uw * uh
+    pos = nl + 1
+    n_frames = 0
+    ys = us = vs = yss = 0
+    while pos < len(buf):
+        pos = buf.index(b"\n", pos) + 1  # skip FRAME line
+        for i in range(ysz):
+            b0 = buf[pos + i]
+            ys += b0
+            yss += b0 * b0
+        for i in range(usz):
+            us += buf[pos + ysz + i]
+            vs += buf[pos + ysz + usz + i]
+        pos += ysz + 2 * usz
+        n_frames += 1
+    ny = n_frames * ysz
+    nu = n_frames * usz
+    mean_y = ys / ny
+    var_y = yss / ny - mean_y * mean_y
+    return [
+        float(n_frames), float(w), float(h), fn / fd,
+        mean_y, us / nu, vs / nu, math.sqrt(var_y),
+    ]
+
+
+def media_real_row_ref(media_id: int, kind: str, buf: bytes):
+    feats = {
+        "audio": wav_features_ref,
+        "image": image_features_ref,
+        "video": y4m_features_ref,
+    }[kind](buf)
+    return (media_id, kind, len(buf), *feats)
