@@ -386,6 +386,101 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# adversarial tie corpora: the events tables carry no duplicate
+# timestamps or tied values, so the asof/sessionize/interpolate tie rules
+# were previously proven only in pytest. Quantizing t to a 2-day grid and
+# v to 25-wide integer steps plants BOTH (every value exactly f64-
+# representable, identical across engines), putting the tie rules under
+# the driver's value-hash gate too.
+# ---------------------------------------------------------------------------
+
+_TIE_T_US = 2.0 * DAY_US  # 172800000000
+
+
+def _events_series_ties(spark, sf_dir):
+    s = _events_series(spark, sf_dir)
+    return s.select(
+        "user_id",
+        (F.floor(F.col("t") / F.lit(_TIE_T_US)) * F.lit(_TIE_T_US)).alias("t"),
+        F.floor(F.col("v") / F.lit(25.0)).cast("double").alias("v"),
+    )
+
+
+def q_sessions_events_ties(spark, sf_dir):
+    """Per-ROW session assignment over the tie-planted series: duplicate
+    timestamps within a session and across boundary candidates must get
+    identical session ids regardless of partitioning (tie order (t, v) is
+    pinned in both engines)."""
+    from light_curve_spark.operators.series import sessionize
+
+    s = sessionize(
+        _events_series_ties(spark, sf_dir), gap=4.0 * DAY_US, keys=["user_id"]
+    )
+    return s.select(
+        "user_id",
+        F.col("t").cast("long").alias("t"),
+        "v",
+        F.col("session_id").cast("long").alias("session_id"),
+    )
+
+
+def q_asof_join_events_ties(spark, sf_dir):
+    """Backward as-of join where the right side has MULTIPLE rows at the
+    matching timestamp: the operator's documented winner is the
+    lexicographically-greatest (value..., t) whole row — the oracle
+    reduces duplicates to max(v) per (user, t) and applies DuckDB's
+    native ASOF join."""
+    from light_curve_spark.operators.asof import asof_join
+
+    _utc(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = ev.select(
+        "user_id",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_TIE_T_US)
+            )
+            * F.lit(_TIE_T_US)
+        ).alias("t"),
+        F.floor(F.col("value") / F.lit(25.0)).cast("double").alias("v"),
+        "event_type",
+    )
+    errors = base.filter(F.col("event_type") == "error").select("user_id", "t", "v")
+    signups = base.filter(F.col("event_type") == "signup").select("user_id", "t", "v")
+    out = asof_join(errors, signups, keys=["user_id"], value_cols=["v"])
+    return out.select(
+        "user_id",
+        F.col("t").cast("long").alias("t"),
+        "v",
+        F.col("asof_v").alias("signup_v"),
+        F.col("asof_t").cast("long").alias("signup_t"),
+    )
+
+
+def q_interpolate_events_ties(spark, sf_dir):
+    """Strategy-R interpolation over a series with DUPLICATE knot
+    timestamps: exact hits / right neighbors must take the FIRST
+    duplicate, left neighbors the LAST (reference rule,
+    light-curve-interpol/src/lib.rs:55) — under the hash gate."""
+    from light_curve_spark.operators.gapfill import interpolate_relational
+
+    s = _events_series_ties(spark, sf_dir)
+    b = s.groupBy("user_id").agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    grid = b.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(24)),
+                lambda i: F.col("t0")
+                + ((F.col("t1") - F.col("t0")) / F.lit(24.0)) * i.cast("double"),
+            )
+        ).alias("t"),
+    )
+    out = interpolate_relational(s, grid, left=-1.0, right=-1.0, keys=["user_id"])
+    return out.select("user_id", "t", _r6("v").alias("v"))
+
+
 def q_events_in_signup_windows(spark, sf_dir):
     """Range join (SURVEY §2.4): every event falling inside the 3-day
     window after any signup of the same user, counted per signup. The
@@ -768,7 +863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_events": q_retention_events,
         "rolling_mean_events": q_rolling_mean_events,
         "sessions_events": q_sessions_events,
+        "sessions_events_ties": q_sessions_events_ties,
         "asof_join_events": q_asof_join_events,
+        "asof_join_events_ties": q_asof_join_events_ties,
+        "interpolate_events_ties": q_interpolate_events_ties,
         "events_in_signup_windows": q_events_in_signup_windows,
         "eta_trend_events": q_eta_trend_events,
         "dmdt_events": q_dmdt_events,
@@ -1012,6 +1110,59 @@ SELECT e.user_id, CAST(e.t AS BIGINT) AS t, e.v AS v,
        s.v AS signup_v, CAST(s.t AS BIGINT) AS signup_t
 FROM e ASOF LEFT JOIN s
   ON e.user_id = s.user_id AND e.t >= s.t
+"""
+
+# tie-planted twin source: MUST stay textually in sync with
+# _events_series_ties (2-day t grid, 25-wide v steps — all exact in f64)
+_TIES_SRC_SQL = """
+  SELECT user_id,
+         floor(epoch_us(ts) / 172800000000.0) * 172800000000.0 AS t,
+         CAST(floor(value / 25.0) AS DOUBLE) AS v
+  FROM events
+"""
+
+_SESSIONS_TIES_SQL = f"""
+WITH s AS ({_TIES_SRC_SQL}),
+flagged AS (
+  SELECT user_id, t, v,
+         CASE WHEN t - lag(t) OVER w > 4.0 * 86400000000.0 THEN 1 ELSE 0 END AS is_new
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t, v)
+)
+SELECT user_id, CAST(t AS BIGINT) AS t, v,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_id
+FROM flagged
+"""
+
+_ASOF_TIES_SQL = """
+WITH b AS (
+  SELECT user_id,
+         floor(epoch_us(ts) / 172800000000.0) * 172800000000.0 AS t,
+         CAST(floor(value / 25.0) AS DOUBLE) AS v,
+         event_type
+  FROM events
+),
+e AS (SELECT user_id, t, v FROM b WHERE event_type = 'error'),
+s0 AS (SELECT user_id, t, v FROM b WHERE event_type = 'signup'),
+-- the operator's duplicate-timestamp winner is the greatest (v, t) row;
+-- collapsing right dups to max(v) makes native ASOF deterministic and
+-- equivalent
+s AS (SELECT user_id, t, max(v) AS v FROM s0 GROUP BY 1, 2)
+SELECT e.user_id, CAST(e.t AS BIGINT) AS t, e.v AS v,
+       s.v AS signup_v, CAST(s.t AS BIGINT) AS signup_t
+FROM e ASOF LEFT JOIN s
+  ON e.user_id = s.user_id AND e.t >= s.t
+"""
+
+_INTERPOLATE_TIES_SQL = f"""
+WITH s AS ({_TIES_SRC_SQL}),
+b AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM s GROUP BY 1),
+g AS (
+  SELECT user_id, t0 + ((t1 - t0) / 24.0) * CAST(i AS DOUBLE) AS t
+  FROM b, unnest(range(0, 25)) AS u(i)
+),
+{_INTERP_BODY_SQL}
 """
 
 _ETA_TREND_SQL = """
@@ -1289,7 +1440,10 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        round(sum(v), 6) AS v_sum
 FROM sess GROUP BY 1, 2
 """,
+        "sessions_events_ties": _SESSIONS_TIES_SQL,
         "asof_join_events": _ASOF_SQL,
+        "asof_join_events_ties": _ASOF_TIES_SQL,
+        "interpolate_events_ties": _INTERPOLATE_TIES_SQL,
         "events_in_signup_windows": """
 WITH p AS (
   SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS t, value AS v FROM events
