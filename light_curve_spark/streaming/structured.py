@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from light_curve_spark.functions import bucketize, epoch_us
+from light_curve_spark.operators.rollup import ROLLUP_AGG_COLS
 
 
 def stream_base_rollup(
@@ -151,13 +152,29 @@ def run_stream_rollup(
     v_col: str = "value",
     width_seconds: int = 86400,
     watermark: str = "2 days",
+    tiers: tuple[int, ...] = (1,),
 ) -> None:
     """One ``availableNow`` pass: process every not-yet-seen file under
     ``input_dir``, upserting updated buckets into ``storage``/``table``
     (replace-on-write snapshots; read with ``read_snapshot``). Returns
     after the trigger drains — a scheduler (or a long-lived query with a
-    processing-time trigger) calls this per arrival."""
+    processing-time trigger) calls this per arrival.
+
+    ``tiers`` beyond the base fold the 10x/100x retention cascade into
+    the SAME micro-batch: update-mode rows are REPLACEMENTS (not deltas),
+    so coarser tiers cannot be merge-summed incrementally; instead each
+    batch recomputes exactly the parent buckets its updates touch FROM
+    the merged base-tier partials (never from raw) and replace-upserts
+    them into ``{table}_t{T}``. Per batch that is |touched parents| tiny
+    rows — the classic continuous-aggregate incremental refresh. Read
+    the full cascade back with :func:`read_stream_tiers`; row-compatible
+    with the batch ``operators/rollup.rollup_tiers`` output (tested
+    equal across both availableNow runs)."""
     keys = keys or ["user_id"]
+    if list(tiers) != sorted(tiers) or tiers[0] != 1 or any(
+        t % p for p, t in zip(tiers, tiers[1:])
+    ):
+        raise ValueError(f"tiers must be ascending multiples starting at 1: {tiers}")
     if not hasattr(storage, "read_snapshot"):
         # the upsert contract is replace-on-write FULL-state snapshots;
         # IcebergStorage appends rows (its streaming path would be an
@@ -174,6 +191,21 @@ def run_stream_rollup(
         width_seconds=width_seconds, watermark=watermark,
     )
 
+    def _read_or_none(tbl: str):
+        try:
+            return storage.read_snapshot(tbl)
+        except ValueError:
+            return None
+
+    def _replace_upsert(cur, rows: DataFrame, on: list[str], tbl: str) -> None:
+        if cur is None:
+            merged = rows
+        else:
+            merged = cur.join(rows.select(*on).distinct(), on, "left_anti").unionByName(
+                rows
+            )
+        storage.append(merged, tbl)
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         # update-mode batches carry the CURRENT value of every group
         # updated in this micro-batch: replace those rows, keep the rest
@@ -181,17 +213,42 @@ def run_stream_rollup(
         try:
             if updates.isEmpty():
                 return
+            _replace_upsert(
+                _read_or_none(table), updates, [*keys, "bucket"], table
+            )
+            if len(tiers) == 1:
+                return
+            base = storage.read_snapshot(table).persist()
             try:
-                current = storage.read_snapshot(table)
-            except ValueError:
-                current = None
-            if current is None:
-                merged = updates
-            else:
-                merged = current.join(
-                    updates.select(*keys, "bucket"), [*keys, "bucket"], "left_anti"
-                ).unionByName(updates)
-            storage.append(merged, table)
+                for t in tiers[1:]:
+                    # parent buckets touched by this batch's base updates
+                    parents = updates.select(
+                        *keys, F.floor(F.col("bucket") / F.lit(t)).alias("bucket")
+                    ).distinct()
+                    recomputed = (
+                        base.withColumn(
+                            "_p", F.floor(F.col("bucket") / F.lit(t))
+                        )
+                        .join(
+                            F.broadcast(parents.withColumnRenamed("bucket", "_p")),
+                            [*keys, "_p"],
+                        )
+                        .groupBy(*keys, F.col("_p").alias("bucket"))
+                        .agg(
+                            F.sum("n_points").alias("n_points"),
+                            F.sum("v_sum").alias("v_sum"),
+                            F.min("v_min").alias("v_min"),
+                            F.max("v_max").alias("v_max"),
+                        )
+                    )
+                    _replace_upsert(
+                        _read_or_none(f"{table}_t{t}"),
+                        recomputed,
+                        [*keys, "bucket"],
+                        f"{table}_t{t}",
+                    )
+            finally:
+                base.unpersist()
         finally:
             updates.unpersist()
 
@@ -203,3 +260,25 @@ def run_stream_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def read_stream_tiers(
+    storage, table: str, tiers: tuple[int, ...] = (1, 10, 100)
+) -> DataFrame:
+    """The streamed cascade as ONE table in the batch
+    ``operators/rollup.rollup_tiers`` shape: (key..., tier, bucket,
+    n_points, v_sum, v_min, v_max, v_mean)."""
+    out = None
+    for t in tiers:
+        tbl = table if t == 1 else f"{table}_t{t}"
+        df = storage.read_snapshot(tbl).withColumn("tier", F.lit(t))
+        out = df if out is None else out.unionByName(df)
+    cols = [c for c in out.columns if c != "tier"]
+    front = [c for c in cols if c not in ("bucket", *ROLLUP_AGG_COLS)]
+    return out.select(
+        *front,
+        "tier",
+        "bucket",
+        *ROLLUP_AGG_COLS,
+        (F.col("v_sum") / F.col("n_points")).alias("v_mean"),
+    )

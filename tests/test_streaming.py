@@ -193,3 +193,93 @@ def test_stream_stateful_totals_resume(spark, tmp_path):
     }
     assert latest == batch
     assert latest[1] == (3, 42.0, 2.0, 30.0)  # state crossed the restart
+
+
+def test_stream_tier_cascade_matches_batch(spark, tmp_path):
+    """The streamed 1x/10x/100x cascade (incremental parent-bucket
+    refresh per micro-batch) must equal the batch rollup_tiers cascade on
+    the same input, across BOTH availableNow runs — including a second
+    arrival that back-fills an already-rolled-up parent bucket."""
+    from light_curve_spark.operators.rollup import rollup_tiers
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.structured import (
+        read_stream_tiers,
+        run_stream_rollup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    inp = str(tmp_path / "incoming3")
+    ckpt = str(tmp_path / "ckpt3")
+    os.makedirs(inp, exist_ok=True)
+    storage = ParquetSnapshotStorage(spark, str(tmp_path / "store3"))
+
+    def run():
+        run_stream_rollup(
+            spark, inp, SCHEMA, storage, "casc", ckpt,
+            keys=["user_id"], tiers=(1, 10, 100),
+        )
+
+    def streamed():
+        return {
+            (r.user_id, r.tier, r.bucket): (r.n_points, r.v_sum, r.v_min,
+                                            r.v_max, r.v_mean)
+            for r in read_stream_tiers(storage, "casc").collect()
+        }
+
+    def batch():
+        series = (
+            spark.read.schema(SCHEMA)
+            .parquet(inp)
+            .select(
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                .cast("double")
+                .alias("t"),
+                F.col("value").alias("v"),
+            )
+        )
+        out = {
+            (r.user_id, r.tier, r.bucket): (r.n_points, r.v_sum, r.v_min,
+                                            r.v_max, r.v_mean)
+            for r in rollup_tiers(
+                series, keys=["user_id"], base_width=86400e6
+            ).collect()
+        }
+        release_operator_caches()
+        return out
+
+    # wave 1: spans several base buckets under one tier-10 parent
+    _write_file(
+        spark,
+        inp,
+        [
+            (1, "2024-01-01 01:00:00", 10.0),
+            (1, "2024-01-04 23:00:00", 30.0),
+            (2, "2024-01-02 12:00:00", 5.0),
+        ],
+    )
+    run()
+    assert streamed() == batch()
+
+    # wave 2: back-fills a new base bucket under the ALREADY-ROLLED-UP
+    # tier-10/100 parents (within the 2-day watermark), extends user 1
+    # into a new tier-10 bucket, and opens a new user entirely
+    _write_file(
+        spark,
+        inp,
+        [
+            (1, "2024-01-03 05:00:00", 2.0),
+            (1, "2024-02-10 12:00:00", -4.0),
+            (3, "2024-03-03 00:00:00", 7.0),
+        ],
+    )
+    run()
+    got = streamed()
+    assert got == batch()
+    assert {t for (_, t, _b) in got} == {1, 10, 100}
+
+    with pytest.raises(ValueError, match="tiers"):
+        run_stream_rollup(
+            spark, inp, SCHEMA, storage, "casc", ckpt, tiers=(1, 10, 25)
+        )
