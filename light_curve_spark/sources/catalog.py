@@ -7,7 +7,11 @@ SURVEY.md §2.2). The sandbox has no Iceberg runtime jar, so the layer is
 an interface with two implementations resolved at session build:
 
 - :class:`IcebergStorage` — used when the Iceberg Spark extension classes
-  load; snapshot ids are Iceberg snapshot ids.
+  load; snapshot ids are Iceberg snapshot ids. A REAL end-to-end test
+  (append -> VERSION AS OF -> resume, tests/test_iceberg_real.py) runs
+  whenever ``SPARK_GRAFT_ICEBERG_JAR`` points at a runtime jar; this
+  offline container has none, so it auto-skips and the mocked contract
+  test plus the parquet twin carry coverage here.
 - :class:`ParquetSnapshotStorage` — parquet directories plus a JSON
   manifest (``_snapshots.json``) recording one immutable directory per
   snapshot; gives the same append/read-version/resume contract so pytest
