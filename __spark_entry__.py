@@ -600,6 +600,15 @@ def q_simhash_documents(spark, sf_dir):
     return simhash_dedup(_docs(spark, sf_dir), max_hamming=8)
 
 
+def q_simhash_weighted_documents(spark, sf_dir):
+    """IDF-weighted SimHash (doc_id, sh) — integer log2-idf votes, the
+    Zipf-saturation remedy (BENCH.md round-3 finding). Oracle: naive
+    scalar re-derivation (exact int sums both sides)."""
+    from light_curve_spark.operators.dedup import simhash_weighted_kernel
+
+    return simhash_weighted_kernel(_docs(spark, sf_dir))
+
+
 def q_language_id_documents(spark, sf_dir):
     from light_curve_spark.operators.text import language_id
 
@@ -877,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": q_contamination_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "simhash_documents": q_simhash_documents,
+        "simhash_weighted_documents": q_simhash_weighted_documents,
         "language_id_documents": q_language_id_documents,
         "quality_score_documents": q_quality_score_documents,
         "token_count_documents": q_token_count_documents,
@@ -1497,6 +1507,9 @@ SELECT user_id, event_id, value FROM (
         "minhash_lsh_documents": _fixture_sql(
             "minhash_lsh.parquet",
             "doc_a, doc_b, round(jaccard, 6) AS jaccard",
+        ),
+        "simhash_weighted_documents": _fixture_sql(
+            "simhash_weighted_500.parquet", "doc_id, sh"
         ),
         "simhash_documents": _fixture_sql(
             "simhash_pairs.parquet", "doc_a, doc_b, hamming"

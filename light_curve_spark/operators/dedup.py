@@ -557,11 +557,109 @@ def simhash_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return hashed.mapInArrow(fn, schema=out_schema)
 
 
+def simhash_weighted_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh): IDF-weighted SimHash — the remedy for the unweighted
+    variant's majority-vote saturation on Zipf text (BENCH.md round-3
+    stress finding: 91k-doc corpus -> modal unweighted hash shared by
+    4,356 long documents, 247.7M hamming<=8 band pairs).
+
+    Each word votes with weight idf2 = floor(log2(n_docs // df)) instead
+    of 1, so hot words (df ~ n_docs -> weight 0) stop dominating every
+    bit and the hash discriminates on a document's informative
+    vocabulary.
+
+    The weight is an INTEGER computed without any libm call —
+    bit_length(n_docs // df) - 1, expressed JVM-side as the length of
+    the base-2 ``conv`` string — so the per-bit vote sums are exact
+    int64, bit-stable under any partitioning/summation order (no
+    float-reduction tie flicker, no JVM-vs-libm log ulp skew), and the
+    naive scalar oracle reproduces them exactly. (floor of the f64
+    division equals integer division for all n_docs < 2^53: the true
+    quotient is at least 1/df above the integer below it, which exceeds
+    half an ulp whenever k*df fits in 53 bits.)
+
+    Plan shape: one explode feeding (a) the document-frequency aggregate
+    and (b) the vote join (the exploded subtree is persisted so the word
+    hashing runs once); the df table is vocabulary-bounded, so AQE
+    broadcasts the join at real corpus scales; one groupBy(doc_id)
+    regroup feeds a single mapInArrow bit-vote kernel (bit matrix *
+    int64 weights + add.reduceat, same machinery as simhash_kernel).
+    Two actions on purpose: count() for n_docs (scalar) and the df
+    aggregate — idf is a two-pass statistic by definition.
+
+    Null/word-less documents keep the unweighted convention sh = 0."""
+    import pyarrow as pa
+
+    words = F.split(_norm_text(text_col), " ")
+    hashed = cached(
+        ensure_min_splits(docs).select(
+            "doc_id",
+            F.explode(F.transform(words, lambda w: F.xxhash64(w))).alias("h"),
+        )
+    )
+    n_docs = docs.count()
+    df_tbl = (
+        hashed.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+    )
+    ratio = F.floor(F.lit(float(n_docs)) / F.col("df")).cast("long")
+    w_expr = (
+        F.length(F.conv(ratio.cast("string"), 10, 2)) - F.lit(1)
+    ).cast("long")
+    weighted = hashed.join(df_tbl.select("h", w_expr.alias("w")), "h")
+    g = weighted.groupBy("doc_id").agg(
+        F.collect_list(F.struct("h", "w")).alias("_hw")
+    )
+    out_schema = StructType(
+        [docs.schema["doc_id"], StructField("sh", LongType(), False)]
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def fn(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            hw = b.column(b.schema.get_field_index("_hw"))
+            off = hw.offsets.to_numpy()
+            lengths = (off[1:] - off[:-1]).astype(np.int64)
+            starts = np.cumsum(lengths) - lengths
+            flat = hw.flatten()
+            h = flat.field("h").to_numpy().astype(np.int64).view(np.uint64)
+            wv = flat.field("w").to_numpy().astype(np.int64)
+            # contribution matrix: +w where the bit is set, -w where not;
+            # zero sentinel row keeps reduceat indices in range without
+            # clamping (same guard as simhash_kernel)
+            bits = (h[:, None] >> shifts) & np.uint64(1)
+            contrib = np.zeros((h.shape[0] + 1, 64), dtype=np.int64)
+            contrib[:-1] = np.where(bits.astype(bool), wv[:, None], -wv[:, None])
+            votes = np.add.reduceat(contrib, starts, axis=0)
+            pos = votes > 0
+            pos[lengths == 0] = False
+            sh = (pos.astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            ).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("doc_id")), pa.array(sh)],
+                ["doc_id", "sh"],
+            )
+
+    sh_df = g.mapInArrow(fn, schema=out_schema)
+    # word-less docs (null text) vanish in the explode — reattach as sh=0
+    return (
+        docs.select("doc_id")
+        .join(sh_df, "doc_id", "left")
+        .select("doc_id", F.coalesce("sh", F.lit(0).cast("long")).alias("sh"))
+    )
+
+
 def simhash_dedup(
     docs: DataFrame,
     band_bits: int = 16,
     text_col: str = "text",
     max_hamming: int | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Near-dup candidates by SimHash: documents sharing any of the four
     16-bit bands of their 64-bit simhash (standard Hamming-distance
@@ -569,12 +667,17 @@ def simhash_dedup(
     BEFORE the pair dedup — hamming is a pure function of the pair, so
     this is semantically the same as filtering after, but Catalyst can't
     push a filter below dropDuplicates itself, and filtering first keeps
-    far-apart band collisions out of the dedup shuffle."""
+    far-apart band collisions out of the dedup shuffle.
+
+    ``weighted=True`` uses :func:`simhash_weighted_kernel` (IDF votes) —
+    required on large Zipf-vocabulary corpora, where the unweighted
+    hash saturates (see BENCH.md round-3 stress finding)."""
     # persist the (doc_id, sh) table: both sides of the band self-join
     # consume it — uncached, the text normalization + word hashing +
     # bit-vote kernel would run twice (and inherit however few input
     # splits the source has; the cache read re-parallelizes downstream)
-    sh = cached(simhash_kernel(docs, text_col))
+    kernel = simhash_weighted_kernel if weighted else simhash_kernel
+    sh = cached(kernel(docs, text_col))
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sh.select(

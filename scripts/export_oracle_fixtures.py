@@ -41,6 +41,7 @@ from oracle_impl import (
     minhash_lsh_pairs_ref,
     sequence_row_ref,
     simhash_pairs_ref,
+    simhash_weighted_ref,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -104,6 +105,15 @@ def export_simhash(docs) -> None:
     pd.DataFrame(pairs, columns=["doc_a", "doc_b", "hamming"]).astype(
         {"doc_a": "int64", "doc_b": "int64", "hamming": "int32"}
     ).to_parquet(os.path.join(OUT, "simhash_pairs.parquet"), index=False)
+
+
+def export_simhash_weighted(docs) -> None:
+    sh = simhash_weighted_ref(docs)
+    pd.DataFrame(
+        sorted(sh.items()), columns=["doc_id", "sh"]
+    ).astype({"doc_id": "int64", "sh": "int64"}).to_parquet(
+        os.path.join(OUT, "simhash_weighted_500.parquet"), index=False
+    )
 
 
 def export_fingerprint(docs) -> None:
@@ -271,6 +281,7 @@ if __name__ == "__main__":
     export_dedup_clusters(docs)
     print("minhash_lsh/clusters done")
     export_simhash(docs)
+    export_simhash_weighted(docs)
     print("simhash done")
     export_fingerprint(docs)
     print("fingerprint done")

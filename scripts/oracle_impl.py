@@ -711,3 +711,35 @@ def media_real_row_ref(media_id: int, kind: str, buf: bytes):
         "video": y4m_features_ref,
     }[kind](buf)
     return (media_id, kind, len(buf), *feats)
+
+
+def simhash_weighted_ref(docs: list[tuple[int, str]]) -> dict[int, int]:
+    """operators/dedup.simhash_weighted_kernel spec, naive loops: each
+    word votes with integer weight bit_length(n_docs // df) - 1
+    (= floor(log2(n_docs // df)); hot words weight 0), null-text docs
+    sh = 0. Exact int sums — no float anywhere."""
+    n_docs = len(docs)
+    doc_hashes: dict[int, list[int]] = {}
+    df: dict[int, int] = {}
+    for doc_id, text in docs:
+        if text is None:
+            doc_hashes[doc_id] = []
+            continue
+        hs = [spark_xxhash64_str(w) for w in norm_text(text).split(" ")]
+        doc_hashes[doc_id] = hs
+        for h in set(hs):
+            df[h] = df.get(h, 0) + 1
+    out: dict[int, int] = {}
+    for doc_id, hs in doc_hashes.items():
+        votes = [0] * 64
+        for h in hs:
+            w = (n_docs // df[h]).bit_length() - 1
+            hu = h & MASK64
+            for i in range(64):
+                votes[i] += w if (hu >> i) & 1 else -w
+        sh = 0
+        for i in range(64):
+            if votes[i] > 0:
+                sh |= 1 << i
+        out[doc_id] = to_i64(sh)
+    return out

@@ -192,3 +192,73 @@ def test_ivf_seed_validation_and_distinct_seeds(spark):
     # and fewer DISTINCT vectors than centroids is an error too
     with pytest.raises(ValueError, match="distinct"):
         train_ivf_centroids(emb, n_centroids=4)
+
+
+def test_simhash_weighted_discriminates_hot_word_saturation(spark):
+    """Docs sharing a mass of hot words but differing in rare words:
+    unweighted simhash collapses them to one hash (majority votes ride
+    the hot words), the IDF-weighted variant keeps them apart — while
+    true near-dups still land within banding distance. Null docs keep
+    the sh=0 convention."""
+    from light_curve_spark.functions import hamming64
+    from light_curve_spark.operators.dedup import (
+        simhash_kernel,
+        simhash_weighted_kernel,
+    )
+
+    hot = " ".join("the of and to in a is it" for _ in range(30))
+    shared = " ".join(f"shared{k}" for k in range(150))
+    other = " ".join(f"other{k}" for k in range(150))
+    rows = [
+        (0, f"{hot} {shared} " + " ".join(f"onlyA{k}" for k in range(5))),
+        (1, f"{hot} {other} " + " ".join(f"onlyB{k}" for k in range(5))),
+        (2, f"{hot} {shared} " + " ".join(f"onlyC{k}" for k in range(5))),
+        (3, None),
+    ]
+    # 50 filler docs carrying the hot words (df(hot) = n_docs -> weight 0)
+    rows += [
+        (10 + i, hot + " " + " ".join(f"bg{i}_{j}" for j in range(20)))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    unw = {r.doc_id: r.sh for r in simhash_kernel(docs).collect()}
+    wgt = {r.doc_id: r.sh for r in simhash_weighted_kernel(docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # unweighted: the 240 hot-word votes drag the UNRELATED docs 0 and 1
+    # deceptively close (measured 10/64 bits); idf weighting zeroes the
+    # hot words and separates them on their disjoint informative vocab
+    # (measured 35) ...
+    assert ham(unw[0], unw[1]) <= 16
+    assert ham(wgt[0], wgt[1]) >= 2 * ham(unw[0], unw[1])
+    # ...while the genuine near-dup (150 shared informative words, 5
+    # substitutions) stays within banding distance
+    assert ham(wgt[0], wgt[2]) <= 8
+    assert wgt[3] == 0  # null text convention shared with the unweighted kernel
+
+    # spec parity with the independent scalar reference
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from oracle_impl import simhash_weighted_ref
+
+    assert wgt == simhash_weighted_ref(rows)
+
+    # the banded pair path accepts the weighted kernel; 8-bit bands so
+    # the hamming-7 near-dup is pigeonhole-guaranteed to collide in at
+    # least one of the 8 bands
+    from light_curve_spark.operators.dedup import simhash_dedup
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_dedup(
+            docs, band_bits=8, max_hamming=8, weighted=True
+        ).collect()
+    }
+    assert (0, 2) in pairs and (0, 1) not in pairs
