@@ -145,6 +145,73 @@ def main() -> None:
             ["InMemoryTableScan", "BroadcastHashJoin LeftAnti"],
         )
     )
+    # 10. interval (range) join: bucketized equi-join — the naive theta
+    # join would plan a BroadcastNestedLoopJoin (quadratic)
+    plan10 = formatted(e.q_events_in_signup_windows(spark, SF))
+    sections.append(
+        (
+            "Interval join (bucketized EQUI-join — BroadcastHashJoin here "
+            "because AQE broadcasts the tiny sf0.01 interval side; "
+            "SortMergeJoin at scale; never a BroadcastNestedLoopJoin)",
+            plan10,
+            ["HashJoin"],
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan10, "range join must bucketize"
+    assert "CartesianProduct" not in plan10
+
+    # 11. as-of join: union + ONE window pass — no join operator at all
+    plan11 = formatted(e.q_asof_join_events(spark, SF))
+    sections.append(
+        (
+            "As-of join (union + single key-partitioned window; no join "
+            "operator, no nested loop)",
+            plan11,
+            ["Window", "Union"],
+        )
+    )
+    assert "Join" not in plan11, "asof must not plan a join"
+
+    # 12. weighted simhash: vocabulary-size df join (AQE decides
+    # broadcast), persisted exploded subtree read via InMemoryTableScan,
+    # never a cartesian
+    from light_curve_spark.operators.dedup import simhash_weighted_kernel
+
+    plan12 = formatted(simhash_weighted_kernel(docs_par))
+    sections.append(
+        (
+            "IDF-weighted SimHash (df join + regroup; persisted word-hash "
+            "subtree, no cartesian)",
+            plan12,
+            ["InMemoryTableScan"],
+        )
+    )
+    assert "CartesianProduct" not in plan12
+    assert "BroadcastNestedLoopJoin" not in plan12
+
+    # 13. star-contraction connected components: one round is two
+    # groupBy-min + equi-join steps — declarative, AQE-owned, no
+    # cartesian anywhere
+    import pandas as pd
+
+    from light_curve_spark.operators.dedup import _star_labels
+
+    chain = spark.createDataFrame(
+        pd.DataFrame({"doc_a": list(range(30)), "doc_b": list(range(1, 31))})
+    )
+    labels, _rounds = _star_labels(chain, "doc_a", "doc_b", max_iter=50)
+    plan13 = formatted(labels)
+    sections.append(
+        (
+            "Star-contraction connected components (per-round groupBy-min + "
+            "equi-join; lineage truncated each round so the final plan stays "
+            "flat)",
+            plan13,
+            ["HashAggregate"],
+        )
+    )
+    assert "CartesianProduct" not in plan13
+
     from light_curve_spark.plans.caching import release_operator_caches
 
     release_operator_caches()
