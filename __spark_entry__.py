@@ -147,6 +147,28 @@ def q_rollup_tiers_events(spark, sf_dir):
     return _round_rollup(out)
 
 
+def q_rollup_distinct_events(spark, sf_dir):
+    """Distinct-user continuous aggregate per tier bucket via the HLL
+    sketch cascade (coarser tiers are lossless sketch UNIONS of the base
+    tier — never a raw re-scan). At sf0.01 cardinalities HLL++ sparse
+    mode is exact, so the oracle is DuckDB's exact COUNT(DISTINCT)."""
+    from light_curve_spark.operators.rollup import rollup_distinct
+
+    # lg_config_k=16: the sketch's exact (coupon) regime covers per-
+    # bucket cardinalities ≲ 2^14, so the DuckDB COUNT(DISTINCT) oracle
+    # holds through sf0.1/sf1 user counts, not just sf0.01 (measured:
+    # promotion at ~3/8 * 2^(lgK-3) coupons ends exactness — lgK=12
+    # already drifts by 1 at 400 distinct)
+    return rollup_distinct(
+        _events_series(spark, sf_dir),
+        distinct_col="user_id",
+        keys=[],
+        base_width=DAY_US,
+        tiers=(1, 10, 100),
+        lg_config_k=16,
+    )
+
+
 def q_rollup_quantiles_events(spark, sf_dir):
     from light_curve_spark.operators.rollup import rollup_quantiles
 
@@ -862,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_events": q_features_events,
         "features_events_kernel": q_features_events_kernel,
         "rollup_tiers_events": q_rollup_tiers_events,
+        "rollup_distinct_events": q_rollup_distinct_events,
         "rollup_quantiles_events": q_rollup_quantiles_events,
         "rollup_percentiles_events": q_rollup_percentiles_events,
         "merge_rollups_events": q_merge_rollups_events,
@@ -1121,6 +1144,14 @@ SELECT e.user_id, CAST(e.t AS BIGINT) AS t, e.v AS v,
 FROM e ASOF LEFT JOIN s
   ON e.user_id = s.user_id AND e.t >= s.t
 """
+
+_ROLLUP_DISTINCT_SQL = " UNION ALL ".join(
+    f"""SELECT {t} AS tier,
+  CAST(floor(epoch_us(ts) / {86400000000.0 * t!r}) AS BIGINT) AS bucket,
+  count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 2"""
+    for t in (1, 10, 100)
+)
 
 # tie-planted twin source: MUST stay textually in sync with
 # _events_series_ties (2-day t grid, 25-wide v steps — all exact in f64)
@@ -1420,6 +1451,7 @@ def _raw_oracles() -> dict[str, str]:
         "features_events": _FEATURES_EVENTS_SQL,
         "features_events_kernel": _FEATURES_EVENTS_SQL,
         "rollup_tiers_events": _ROLLUP_TIERS_SQL,
+        "rollup_distinct_events": _ROLLUP_DISTINCT_SQL,
         "rollup_quantiles_events": _ROLLUP_QUANTILES_SQL,
         "rollup_percentiles_events": _ROLLUP_PCT_SQL,
         "merge_rollups_events": _ROLLUP_TIERS_SQL,

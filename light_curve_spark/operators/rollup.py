@@ -325,6 +325,66 @@ def rollup_quantiles_arrays(
     return seq.select("doc_id", "source", "tokens").mapInArrow(fn, schema=schema)
 
 
+def rollup_distinct(
+    series: DataFrame,
+    distinct_col: str,
+    keys: list[str] | None = None,
+    base_width: float = 16.0,
+    tiers: tuple[int, ...] = (1, 10, 100),
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Distinct-count continuous aggregate per retention tier via HLL
+    sketches: (key..., tier, bucket, n_distinct).
+
+    Distinct counts are non-decomposable exactly but MERGEABLE as
+    sketches, so this follows the same cascade discipline as
+    :func:`rollup_tiers`: the raw series is scanned ONCE into base-tier
+    ``hll_sketch_agg`` sketches; every coarser tier is
+    ``hll_union_agg`` over the next-finer tier's sketches (HLL union is
+    lossless for same-precision sketches, so the cascaded estimate
+    EQUALS the direct-aggregation estimate — pytest-asserted). At 100 TB
+    that is one raw shuffle plus tiny sketch-table shuffles, versus a
+    full re-shuffle of raw values per tier for exact count_distinct.
+
+    Determinism is regime-dependent (measured, tests/test_round3.py):
+    in the sparse/coupon regime (per-bucket cardinality well under
+    2^lg_config_k/4) the sketch stores exact hashes, so estimates are
+    EXACT and partition-independent — that is the sf0.01 contract
+    query's regime, which is what lets it oracle against DuckDB's exact
+    COUNT(DISTINCT). In the dense regime the estimate carries the
+    standard ~1.04/sqrt(2^lg_config_k) relative error and can shift by
+    a few counts with input partitioning (partials cross the
+    sparse->dense promotion at different points — a DataSketches HLL
+    property, not an engine bug). The cascade itself is lossless in
+    BOTH regimes: unioned sketches give the same estimate as direct
+    aggregation."""
+    from light_curve_spark.plans.caching import cached
+
+    keys = keys or []
+    cur = series.groupBy(
+        *keys, bucketize("t", base_width * tiers[0]).alias("bucket")
+    ).agg(F.hll_sketch_agg(distinct_col, F.lit(lg_config_k)).alias("_sk"))
+    if len(tiers) > 1:
+        cur = cached(cur)
+    tiered = [cur.withColumn("tier", F.lit(tiers[0]))]
+    for i, (prev_t, t) in enumerate(zip(tiers, tiers[1:])):
+        if t % prev_t != 0:
+            raise ValueError(f"tier {t} not a multiple of {prev_t}")
+        cur = cur.groupBy(
+            *keys, F.floor(F.col("bucket") / F.lit(t // prev_t)).alias("bucket")
+        ).agg(F.hll_union_agg("_sk").alias("_sk"))
+        if i < len(tiers) - 2:
+            cur = cached(cur)
+        tiered.append(cur.withColumn("tier", F.lit(t)))
+    out = reduce(lambda a, b: a.unionByName(b), tiered)
+    return out.select(
+        *keys,
+        "tier",
+        "bucket",
+        F.hll_sketch_estimate("_sk").alias("n_distinct"),
+    )
+
+
 def rollup_quantiles_approx(
     series: DataFrame,
     keys: list[str] | None = None,
