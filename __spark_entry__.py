@@ -654,6 +654,19 @@ def q_token_count_documents(spark, sf_dir):
     return token_count(_docs(spark, sf_dir))
 
 
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+def q_bm25_documents(spark, sf_dir):
+    """Okapi BM25 corpus ranking against a 3-term query — one scan +
+    single-row broadcast stats, no explode/shuffle of document rows.
+    SQL twin mirrors tf/df/idf/score formulas textually."""
+    from light_curve_spark.operators.text import bm25_scores
+
+    out = bm25_scores(_docs(spark, sf_dir), list(_BM25_TERMS))
+    return out.select("doc_id", _r6("score").alias("score"))
+
+
 def q_fingerprint_documents(spark, sf_dir):
     from light_curve_spark.operators.text import fingerprint
 
@@ -914,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": q_quality_score_documents,
         "token_count_documents": q_token_count_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "bm25_documents": q_bm25_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "cosine_topk_embeddings_kernel": q_cosine_topk_embeddings_kernel,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
@@ -1144,6 +1158,42 @@ SELECT e.user_id, CAST(e.t AS BIGINT) AS t, e.v AS v,
 FROM e ASOF LEFT JOIN s
   ON e.user_id = s.user_id AND e.t >= s.t
 """
+
+def _bm25_sql(terms=_BM25_TERMS, k1=1.2, b=0.75) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(words, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0!r}"
+        f" / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / (sum_dl / n)))"
+        for i in range(len(terms))
+    )
+    any_hit = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    # coalesce(text, '') so null-text docs contribute dl=1 to the corpus
+    # stats exactly like the engine's coalesce (N and sum_dl must match)
+    norm_nn = "regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')"
+    return f"""
+WITH w AS (SELECT doc_id, string_split({norm_nn}, ' ') AS words FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM w
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, round({score}, 6) AS score
+FROM base, stats WHERE {any_hit}
+"""
+
 
 _ROLLUP_DISTINCT_SQL = " UNION ALL ".join(
     f"""SELECT {t} AS tier,
@@ -1452,6 +1502,7 @@ def _raw_oracles() -> dict[str, str]:
         "features_events_kernel": _FEATURES_EVENTS_SQL,
         "rollup_tiers_events": _ROLLUP_TIERS_SQL,
         "rollup_distinct_events": _ROLLUP_DISTINCT_SQL,
+        "bm25_documents": _bm25_sql(),
         "rollup_quantiles_events": _ROLLUP_QUANTILES_SQL,
         "rollup_percentiles_events": _ROLLUP_PCT_SQL,
         "merge_rollups_events": _ROLLUP_TIERS_SQL,

@@ -1,7 +1,11 @@
 """Text-analysis operators over the documents table (driver mandate):
 language-ID, quality scoring, token counting, document fingerprinting.
 Everything except the rolling-hash fingerprint is pure built-in
-expressions (whole-stage codegen; SQL-checkable in DuckDB)."""
+expressions (whole-stage codegen; SQL-checkable in DuckDB). BM25 corpus
+ranking (bm25_scores) joins one broadcast single-row stats aggregate
+back to the scan — the plan shows a BroadcastNestedLoopJoin with a
+1-row build side, which is the standard scalar-broadcast pattern, not a
+quadratic join."""
 
 from __future__ import annotations
 
@@ -119,6 +123,79 @@ FINGERPRINT_SCHEMA = StructType(
         StructField("fingerprint", LongType(), False),
     ]
 )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms:
+    (doc_id, score), documents with no term hit filtered out. The
+    standard retrieval/quality-ranking primitive of a training-data
+    pipeline (e.g. scoring a corpus against a topic seed list).
+
+    Spark-first shape — NO explode, NO shuffle of document rows:
+    per-term tf is an array-filter expression over the word array
+    (codegen), corpus statistics (N, Σdl, per-term df) come from ONE
+    global aggregate row that is broadcast-cross-joined back, and the
+    score is a pure column expression. Wholly SQL-checkable. idf is
+    Lucene's non-negative variant ln(1 + (N - df + 0.5)/(df + 0.5));
+    avgdl is derived as Σdl/N in the score expression (not avg()) so
+    both engines divide identical exact integers."""
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "),
+        " ",
+    )
+    def _eq(term: str):
+        # factory, NOT a default arg: Spark introspects the lambda's
+        # parameter count, and a 2-arg lambda means (element, index)
+        return lambda w: w == F.lit(term)
+
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(words, _eq(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n")
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        parts.append(
+            idf
+            * tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    reduce_or = None
+    for i in range(len(terms)):
+        c = F.col(f"tf{i}") > 0
+        reduce_or = c if reduce_or is None else (reduce_or | c)
+    return scored.filter(reduce_or).select("doc_id", score.alias("score"))
 
 
 def _fingerprint_powers(window: int) -> np.ndarray:

@@ -325,3 +325,22 @@ def test_rollup_distinct_sketch_cascade_is_lossless_and_bounded(spark):
     assert one == two
     # and in that regime the estimate IS the exact distinct count
     assert one[(100, 0)] == 300
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity: a doc with more query-term mass outranks a longer
+    doc with less; docs without any term are absent; null text safe."""
+    from light_curve_spark.operators.text import bm25_scores
+
+    rows = [
+        (0, "spark merge window spark"),
+        (1, "spark " + "filler " * 50),
+        (2, "nothing relevant here"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.score for r in bm25_scores(docs, ["spark", "merge"]).collect()}
+    assert set(out) == {0, 1}
+    assert out[0] > out[1] > 0.0
+    with pytest.raises(ValueError, match="term"):
+        bm25_scores(docs, [])
