@@ -578,37 +578,41 @@ def simhash_weighted_kernel(docs: DataFrame, text_col: str = "text") -> DataFram
     quotient is at least 1/df above the integer below it, which exceeds
     half an ulp whenever k*df fits in 53 bits.)
 
-    Plan shape: one explode feeding (a) the document-frequency aggregate
-    and (b) the vote join (the exploded subtree is persisted so the word
-    hashing runs once); the df table is vocabulary-bounded, so AQE
-    broadcasts the join at real corpus scales; one groupBy(doc_id)
-    regroup feeds a single mapInArrow bit-vote kernel (bit matrix *
-    int64 weights + add.reduceat, same machinery as simhash_kernel).
-    Two actions on purpose: count() for n_docs (scalar) and the df
-    aggregate — idf is a two-pass statistic by definition.
+    Plan shape: one explode into a per-(doc, word) tf aggregate — ONE
+    word-instance shuffle that simultaneously dedups words for the
+    document-frequency aggregate (df = row count per word over the tf
+    table, a tiny vocabulary-keyed shuffle) and pre-combines repeated
+    words so every downstream row carries its whole vote mass
+    (contribution = tf * idf2, exact ints — identical result, fewer
+    rows). The weight join is vocabulary-bounded (AQE broadcasts at
+    real scales), then one groupBy(doc_id) regroup feeds a single
+    mapInArrow bit-vote kernel (bit matrix * int64 weights +
+    add.reduceat, same machinery as simhash_kernel). Two big shuffles
+    total; the count() action for n_docs is a scalar — idf is a
+    two-pass statistic by definition.
 
     Null/word-less documents keep the unweighted convention sh = 0."""
     import pyarrow as pa
 
     words = F.split(_norm_text(text_col), " ")
-    hashed = cached(
-        ensure_min_splits(docs).select(
+    tf_tbl = cached(
+        ensure_min_splits(docs)
+        .select(
             "doc_id",
             F.explode(F.transform(words, lambda w: F.xxhash64(w))).alias("h"),
         )
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("tf"))
     )
     n_docs = docs.count()
-    df_tbl = (
-        hashed.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("df"))
-    )
+    df_tbl = tf_tbl.groupBy("h").agg(F.count("*").alias("df"))
     ratio = F.floor(F.lit(float(n_docs)) / F.col("df")).cast("long")
     w_expr = (
         F.length(F.conv(ratio.cast("string"), 10, 2)) - F.lit(1)
     ).cast("long")
-    weighted = hashed.join(df_tbl.select("h", w_expr.alias("w")), "h")
+    weighted = tf_tbl.join(df_tbl.select("h", w_expr.alias("w")), "h").select(
+        "doc_id", "h", (F.col("tf") * F.col("w")).alias("w")
+    )
     g = weighted.groupBy("doc_id").agg(
         F.collect_list(F.struct("h", "w")).alias("_hw")
     )
