@@ -614,6 +614,27 @@ def q_minhash_lsh_documents(spark, sf_dir):
     ).select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
 
 
+def q_minhash_incremental_documents(spark, sf_dir):
+    """Incremental MinHash dedup fed the SAME corpus in two batches
+    (split by doc_id parity) through a fresh persisted index — the
+    union of per-batch pairs must hash-match the ONE-SHOT fixture
+    oracle, proving incremental processing changes the schedule, not
+    the result."""
+    import tempfile
+
+    from light_curve_spark.operators.dedup import incremental_minhash_pairs
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    docs = _docs(spark, sf_dir)
+    storage = ParquetSnapshotStorage(spark, tempfile.mkdtemp(prefix="mhidx-"))
+    out = None
+    for parity in (0, 1):
+        batch = docs.filter(F.col("doc_id") % 2 == parity)
+        p = incremental_minhash_pairs(storage, batch, threshold=0.5)
+        out = p if out is None else out.unionByName(p)
+    return out.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
+
+
 def q_simhash_documents(spark, sf_dir):
     from light_curve_spark.operators.dedup import simhash_dedup
 
@@ -921,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "contamination_documents": q_contamination_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
+        "minhash_incremental_documents": q_minhash_incremental_documents,
         "simhash_documents": q_simhash_documents,
         "simhash_weighted_documents": q_simhash_weighted_documents,
         "language_id_documents": q_language_id_documents,
@@ -1588,6 +1610,11 @@ SELECT user_id, event_id, value FROM (
             "dedup_clusters.parquet", "doc_id, keep_id"
         ),
         "minhash_lsh_documents": _fixture_sql(
+            "minhash_lsh.parquet",
+            "doc_a, doc_b, round(jaccard, 6) AS jaccard",
+        ),
+        # incremental two-batch feed must reproduce the ONE-SHOT fixture
+        "minhash_incremental_documents": _fixture_sql(
             "minhash_lsh.parquet",
             "doc_a, doc_b, round(jaccard, 6) AS jaccard",
         ),

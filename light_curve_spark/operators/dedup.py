@@ -209,19 +209,16 @@ def _minhash_signature(gram_hashes: F.Column, num_hashes: int, seed: int = 42) -
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_sig_and_bands(
     docs: DataFrame,
-    n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
-    text_col: str = "text",
-) -> DataFrame:
-    """MinHash + banded LSH candidate generation, exact-Jaccard verified.
-
-    bands * rows_per_band == num_hashes; a pair collides if any band's
-    sub-signature matches exactly. Returns (doc_a, doc_b, jaccard) for
-    verified candidates."""
+    n: int,
+    num_hashes: int,
+    bands: int,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front half: (cached (doc_id, grams, sig) table,
+    (doc_id, band_id, band_hash) banding). One gram-hash pass; the
+    banding moves only (doc_id, band) keys, never document content."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -240,8 +237,6 @@ def minhash_lsh_pairs(
     # banding explode AND (twice) by the verification joins; uncached,
     # each consumer re-runs the full n-gram construction over the corpus
     with_sig = cached(with_sig)
-    # band WITHOUT the gram arrays: the band join + distinct must move
-    # only (doc_id, band) keys, never document content
     banded = with_sig.select(
         "doc_id",
         F.explode(
@@ -256,6 +251,44 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+    return with_sig, banded
+
+
+def _verify_jaccard(
+    cand: DataFrame, grams: DataFrame, threshold: float
+) -> DataFrame:
+    """Attach gram sets to candidate (doc_a, doc_b) pairs and keep those
+    with exact gram Jaccard >= threshold."""
+    cand = cand.join(
+        grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")),
+        "doc_a",
+    ).join(
+        grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")),
+        "doc_b",
+    )
+    return (
+        cand.withColumn("jaccard", jaccard_arrays("grams_a", "grams_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verified.
+
+    bands * rows_per_band == num_hashes; a pair collides if any band's
+    sub-signature matches exactly. Returns (doc_a, doc_b, jaccard) for
+    verified candidates."""
+    with_sig, banded = _minhash_sig_and_bands(
+        docs, n=n, num_hashes=num_hashes, bands=bands, text_col=text_col
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -273,23 +306,87 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify: attach gram sets to the (few) surviving pairs only
-    grams_only = with_sig.select("doc_id", "grams")
-    cand = cand.join(
-        grams_only.select(
-            F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
-        ),
-        "doc_a",
-    ).join(
-        grams_only.select(
-            F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
-        ),
-        "doc_b",
+    return _verify_jaccard(cand, with_sig.select("doc_id", "grams"), threshold)
+
+
+def incremental_minhash_pairs(
+    storage,
+    new_docs: DataFrame,
+    prefix: str = "mh",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus dedup: near-dup pairs INVOLVING a new batch,
+    against a persisted MinHash index — without recomputing anything for
+    the corpus already indexed. The production posture at 10^12 docs:
+    signatures are mined once per document, ever; each arriving batch
+    (a) computes its own grams/signatures/bands, (b) equi-joins its
+    bands against the stored ``{prefix}_bands`` table (only collided
+    buckets are touched), (c) band-joins within itself, (d) verifies
+    with exact gram Jaccard (old gram sets come from ``{prefix}_grams``
+    for matched docs only), and (e) appends its bands+grams as new
+    snapshots of the index tables.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. The union of
+    the returned pairs over any batch split equals the one-shot
+    :func:`minhash_lsh_pairs` output on the full corpus (same spec,
+    tested) — incremental processing changes the SCHEDULE, not the
+    result. Exactly-once: callers track which input batches are folded
+    (the pipeline checkpoint pattern); re-appending a batch would
+    duplicate index rows."""
+    with_sig, banded = _minhash_sig_and_bands(
+        new_docs, n=n, num_hashes=num_hashes, bands=bands, text_col=text_col
     )
-    return (
-        cand.withColumn("jaccard", jaccard_arrays("grams_a", "grams_b"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    try:
+        old_bands = storage.read(f"{prefix}_bands")
+        old_grams = storage.read(f"{prefix}_grams")
+    except ValueError:
+        old_bands = old_grams = None
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    new_new = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
+    if old_bands is not None:
+        o = old_bands.alias("o")
+        nw = banded.alias("n")
+        cross = (
+            o.join(
+                nw,
+                (F.col("o.band_id") == F.col("n.band_id"))
+                & (F.col("o.band_hash") == F.col("n.band_hash")),
+            )
+            .select(
+                F.least(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+                F.greatest(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+        )
+        cand = new_new.unionByName(cross).distinct()
+        grams = with_sig.select("doc_id", "grams").unionByName(old_grams)
+    else:
+        cand = new_new.distinct()
+        grams = with_sig.select("doc_id", "grams")
+    pairs = _verify_jaccard(cand, grams, threshold)
+
+    # fold the batch into the index BEFORE returning (the returned plan
+    # is lazy; materialize pairs first so the append below does not race
+    # a consumer's later evaluation against released caches)
+    pairs = cached(pairs)
+    pairs.count()
+    storage.append(banded, f"{prefix}_bands")
+    storage.append(with_sig.select("doc_id", "grams"), f"{prefix}_grams")
+    return pairs
 
 
 def simhash(text_col: str = "text", bits: int = 64) -> F.Column:

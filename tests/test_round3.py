@@ -344,3 +344,47 @@ def test_bm25_ranking_properties(spark):
     assert out[0] > out[1] > 0.0
     with pytest.raises(ValueError, match="term"):
         bm25_scores(docs, [])
+
+
+def test_incremental_minhash_matches_one_shot(spark, tmp_path):
+    """Feeding the corpus through incremental_minhash_pairs in two
+    batches (near-dup partners deliberately split ACROSS batches) must
+    yield exactly the one-shot minhash_lsh_pairs output — incremental
+    processing changes the schedule, not the result — and the second
+    batch must reuse the persisted index rather than re-mining batch 1."""
+    from light_curve_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    rows = []
+    for i in range(20):
+        base = " ".join(f"w{i}_{j}" for j in range(30))
+        rows.append((2 * i, base))
+        if i % 3 == 0:  # plant a near-dup partner on the ODD id
+            rows.append((2 * i + 1, base.replace(f"w{i}_7 ", "xx ")))
+        else:
+            rows.append((2 * i + 1, " ".join(f"u{i}_{j}" for j in range(30))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    one_shot = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    release_operator_caches()
+    assert one_shot, "corpus must contain planted near-dups"
+
+    storage = ParquetSnapshotStorage(spark, str(tmp_path / "mhidx"))
+    got = {}
+    for parity in (0, 1):  # partners split across batches -> cross pairs
+        batch = docs.filter(F.col("doc_id") % 2 == parity)
+        for r in incremental_minhash_pairs(storage, batch, threshold=0.5).collect():
+            got[(r.doc_a, r.doc_b)] = round(r.jaccard, 9)
+        release_operator_caches()
+    assert got == one_shot
+    # every planted pair is a CROSS-batch pair (even base, odd partner)
+    assert all(a % 2 == 0 and b % 2 == 1 for (a, b) in got)
+    # the index holds both batches' bands now
+    assert storage.read("mh_bands").select("doc_id").distinct().count() == 40
