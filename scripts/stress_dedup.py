@@ -44,9 +44,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-N_BG = 80_000
-N_EXACT_PAIRS = 2_000
-N_CLUSTERS = 2_000
+# SPARK_GRAFT_STRESS_SCALE multiplies the corpus (chain length fixed):
+# scale=1 -> 91k docs / 140 MB; scale=2 -> 181k docs / ~280 MB — used to
+# measure how the suite's wall grows with corpus size (BENCH.md)
+_SCALE = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "1"))
+N_BG = 80_000 * _SCALE
+N_EXACT_PAIRS = 2_000 * _SCALE
+N_CLUSTERS = 2_000 * _SCALE
 CHAIN_LEN = 1_000
 VOCAB = 30_000
 
