@@ -246,8 +246,21 @@ def _write_report(rs: list[dict], probe: dict | None = None) -> None:
         ),
         "",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # PRESERVE hand-written appendix sections (stress runs, measurement
+    # notes) across regenerations: everything from the first
+    # "## Appendix" heading of the existing file is carried over
+    bench_path = os.path.join(REPO, "BENCH.md")
+    appendix = ""
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            old = f.read()
+        idx = old.find("## Appendix")
+        if idx >= 0:
+            appendix = old[idx:]
+    with open(bench_path, "w") as f:
         f.write("\n".join(lines))
+        if appendix:
+            f.write("\n" + appendix)
     print("\n".join(lines))
 
 
