@@ -18,7 +18,16 @@ Spark-first (driver mandate; graded alongside SURVEY.md §2):
   64-bit gram hashes (identical to exact string Jaccard up to a
   ~|grams|²/2^64 collision probability — immaterial at any scale).
 - :func:`simhash_dedup` — 64-bit SimHash from word-hash sign sums,
-  grouped by rotated prefix bands for near-match candidates.
+  grouped by rotated prefix bands for near-match candidates;
+  ``weighted=True`` swaps in integer log2-idf votes
+  (:func:`simhash_weighted_kernel`) — required on Zipf-vocabulary
+  corpora, where unweighted votes saturate (BENCH.md round-3 finding).
+- :func:`incremental_minhash_pairs` — batch-incremental dedup against a
+  persisted band/gram index: signatures are mined once per document,
+  ever; union over batches equals the one-shot output.
+- :func:`dedup_clusters` — connected components over discovered pairs
+  (label propagation for shallow clusters; large-star/small-star for
+  huge-diameter graphs, O(log n) rounds), durable checkpointing.
 - :func:`embedding_cosine_pairs` — near-dup by embedding cosine (see
   operators/similarity.py for the kernels).
 
