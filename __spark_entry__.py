@@ -959,12 +959,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_roundtrip_sequences": q_chunk_roundtrip_sequences,
         "rollup_quantiles_sequences": q_rollup_quantiles_sequences,
         "periodogram_sequences": q_periodogram_sequences,
-        "media_features": q_media_features,
         "media_features_real": q_media_features_real,
         "downsample_lttb_events": q_downsample_lttb_events,
         "sample_documents": q_sample_documents,
         "topk_events_per_user": q_topk_events_per_user,
         "validate_events": q_validate_events,
+        # NOTE: the driver sweeps at most 50 queries per round (r3 recorded
+        # 50/51 rows, dropping the then-last dict entry).  Keep the entry with
+        # the most redundant coverage LAST: media_features (deterministic fake
+        # media path) is a strict subset of media_features_real's real-decoder
+        # coverage and is independently pytest-gated (tests/test_multimodal.py).
+        "media_features": q_media_features,
     }
 
 

@@ -559,6 +559,10 @@ def wav_features_ref(buf: bytes) -> list[float]:
             samples.append(data[i] - 128)
     n = len(samples)
     frames = n // channels
+    if n == 0:
+        # mirror kernels/media.py wav_features: valid WAV with an empty data
+        # chunk yields the documented zero-filled feature row
+        return [float(rate), float(channels), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
     s = ss = 0
     mn, mx = samples[0], samples[0]
     for x in samples:

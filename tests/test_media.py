@@ -143,3 +143,30 @@ def test_spark_binaryfile_decode_path(spark):
     bmp3 = open(os.path.join(MEDIA, "003_image.bmp"), "rb").read()
     assert list(rows[3].feature) == image_features(bmp3)
     assert rows[3].n_bytes == len(bmp3)
+
+
+def test_wav_empty_data_chunk_zero_row_matches_reference():
+    """A structurally valid WAV whose data chunk is empty yields the
+    documented zero-filled feature row in BOTH the kernel and the scalar
+    reference (ADVICE r3: the ref used to crash on samples[0])."""
+    import struct
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from oracle_impl import wav_features_ref
+
+    from light_curve_spark.kernels.media import wav_features
+
+    rate, channels, bits = 8000, 2, 16
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    buf = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    expected = [float(rate), float(channels), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    assert wav_features(buf) == expected
+    assert wav_features_ref(buf) == expected
