@@ -248,19 +248,24 @@ def _minhash_sig_and_bands(
     with_sig = cached(with_sig)
     banded = with_sig.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
+        F.explode(_band_array(F.col("sig"), bands, rows_per_band)).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
     return with_sig, banded
+
+
+def _band_array(sig_col: F.Column, bands: int, rows_per_band: int) -> F.Column:
+    """LSH banding as an ``array<struct<band_id,band_hash>>`` column —
+    the exploded join-key form AND the stored-index form both derive
+    from this one expression, so they can never drift."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_id"),
+            F.xxhash64(
+                F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+            ).alias("band_hash"),
+        ),
+    )
 
 
 def _verify_jaccard(
@@ -318,6 +323,20 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, with_sig.select("doc_id", "grams"), threshold)
 
 
+def _content_batch_id(docs: DataFrame, text_col: str) -> str:
+    """Deterministic, order- and partitioning-insensitive identity of a
+    batch's content: row count plus the xor of ``xxhash64(doc_id, text)``
+    over all rows (xor is commutative/associative, so any shuffle of the
+    same rows yields the same id). This is what makes re-submitting a
+    batch detectable without the caller keeping external bookkeeping."""
+    row = docs.select(
+        F.count("*").alias("n"),
+        F.expr(f"bit_xor(xxhash64(doc_id, `{text_col}`))").alias("x"),
+    ).head()
+    x = (row["x"] or 0) & 0xFFFFFFFFFFFFFFFF
+    return f"n{row['n']}-x{x:016x}"
+
+
 def incremental_minhash_pairs(
     storage,
     new_docs: DataFrame,
@@ -327,74 +346,109 @@ def incremental_minhash_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     text_col: str = "text",
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: near-dup pairs INVOLVING a new batch,
     against a persisted MinHash index — without recomputing anything for
     the corpus already indexed. The production posture at 10^12 docs:
     signatures are mined once per document, ever; each arriving batch
     (a) computes its own grams/signatures/bands, (b) equi-joins its
-    bands against the stored ``{prefix}_bands`` table (only collided
+    bands against the stored ``{prefix}_index`` table (only collided
     buckets are touched), (c) band-joins within itself, (d) verifies
-    with exact gram Jaccard (old gram sets come from ``{prefix}_grams``
-    for matched docs only), and (e) appends its bands+grams as new
-    snapshots of the index tables.
+    with exact gram Jaccard (old gram sets are fetched from the index
+    for matched docs only), and (e) appends one index row per doc —
+    ``(batch_id, doc_id, grams, bands)`` — as a SINGLE snapshot.
+
+    Atomicity + idempotency (round-3 ADVICE): the index is ONE table, so
+    a batch commit is one atomic snapshot append (Iceberg snapshot /
+    parquet manifest rename) — there is no cross-table partial state to
+    crash into. Each row carries a ``batch_id`` (content-derived via
+    :func:`_content_batch_id` unless the caller supplies one); when the
+    incoming batch's id is already present in the index the append is
+    SKIPPED, so re-running a batch is a no-op for the index. The re-run
+    still returns the batch's pairs (recomputed against the index minus
+    its own rows — a superset of the original delivery if later batches
+    have landed since).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. The union of
     the returned pairs over any batch split equals the one-shot
     :func:`minhash_lsh_pairs` output on the full corpus (same spec,
     tested) — incremental processing changes the SCHEDULE, not the
-    result. Exactly-once: callers track which input batches are folded
-    (the pipeline checkpoint pattern); re-appending a batch would
-    duplicate index rows."""
-    with_sig, banded = _minhash_sig_and_bands(
-        new_docs, n=n, num_hashes=num_hashes, bands=bands, text_col=text_col
-    )
-    try:
-        old_bands = storage.read(f"{prefix}_bands")
-        old_grams = storage.read(f"{prefix}_grams")
-    except ValueError:
-        old_bands = old_grams = None
+    result.
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    new_new = (
-        a.join(
+    Caching: internals are scoped (released before return); the returned
+    pairs DataFrame is materialized, persisted, and registered in the
+    CALLER's cache registry — release it at a batch boundary via
+    :func:`light_curve_spark.plans.caching.release_operator_caches`."""
+    from light_curve_spark.plans.caching import cache_scope
+
+    index_table = f"{prefix}_index"
+    if batch_id is None:
+        batch_id = _content_batch_id(new_docs, text_col)
+
+    with cache_scope() as keep_cached:
+        with_sig, banded = _minhash_sig_and_bands(
+            new_docs, n=n, num_hashes=num_hashes, bands=bands, text_col=text_col
+        )
+        old = None
+        already_folded = False
+        if storage.exists(index_table):
+            idx = storage.read(index_table)
+            already_folded = (
+                idx.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+            )
+            old = idx.filter(F.col("batch_id") != batch_id) if already_folded else idx
+            if already_folded and old.limit(1).count() == 0:
+                old = None  # index held only this batch
+
+        a = banded.alias("a")
+        b = banded.alias("b")
+        new_new = a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    if old_bands is not None:
-        o = old_bands.alias("o")
-        nw = banded.alias("n")
-        cross = (
-            o.join(
-                nw,
-                (F.col("o.band_id") == F.col("n.band_id"))
-                & (F.col("o.band_hash") == F.col("n.band_hash")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        if old is not None:
+            # stored bands explode back to join keys map-side — the scan
+            # prunes to (doc_id, bands) and never touches stored grams
+            o = old.select(
+                "doc_id", F.explode("bands").alias("band")
+            ).select("doc_id", "band.band_id", "band.band_hash").alias("o")
+            nw = banded.alias("n")
+            cross = (
+                o.join(
+                    nw,
+                    (F.col("o.band_id") == F.col("n.band_id"))
+                    & (F.col("o.band_hash") == F.col("n.band_hash")),
+                )
+                .select(
+                    F.least(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+                )
+                .filter(F.col("doc_a") != F.col("doc_b"))
             )
-            .select(
-                F.least(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_a"),
-                F.greatest(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+            cand = new_new.unionByName(cross).distinct()
+            grams = with_sig.select("doc_id", "grams").unionByName(
+                old.select("doc_id", "grams")
             )
-            .filter(F.col("doc_a") != F.col("doc_b"))
-        )
-        cand = new_new.unionByName(cross).distinct()
-        grams = with_sig.select("doc_id", "grams").unionByName(old_grams)
-    else:
-        cand = new_new.distinct()
-        grams = with_sig.select("doc_id", "grams")
-    pairs = _verify_jaccard(cand, grams, threshold)
-
-    # fold the batch into the index BEFORE returning (the returned plan
-    # is lazy; materialize pairs first so the append below does not race
-    # a consumer's later evaluation against released caches)
-    pairs = cached(pairs)
-    pairs.count()
-    storage.append(banded, f"{prefix}_bands")
-    storage.append(with_sig.select("doc_id", "grams"), f"{prefix}_grams")
+        else:
+            cand = new_new.distinct()
+            grams = with_sig.select("doc_id", "grams")
+        pairs = keep_cached(cached(_verify_jaccard(cand, grams, threshold)))
+        # materialize pairs BEFORE the scope releases with_sig (and
+        # before the append), so a consumer's later evaluation never
+        # races released caches
+        pairs.count()
+        if not already_folded:
+            rows_per_band = num_hashes // bands
+            index_rows = with_sig.select(
+                F.lit(batch_id).alias("batch_id"),
+                "doc_id",
+                "grams",
+                _band_array(F.col("sig"), bands, rows_per_band).alias("bands"),
+            )
+            storage.append(index_rows, index_table)
     return pairs
 
 

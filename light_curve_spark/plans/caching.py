@@ -58,9 +58,31 @@ def cache_scope():
     tables of dedup_clusters) must not unpersist caches registered by
     OTHER in-flight operators — a global release is correct but forces
     silent full recomputes on composed pipelines. The scope snapshots the
-    registry position on entry and pops back to it on exit."""
+    registry position on entry and pops back to it on exit.
+
+    The context yields a ``keep(df)`` function: a cached DataFrame passed
+    to it SURVIVES the scope exit and is re-registered in the enclosing
+    scope (for an operator whose internals are scoped but whose RESULT
+    stays cached for the caller to release at a batch boundary)."""
     start = len(_ACTIVE)
+    kept: list[DataFrame] = []
+
+    def keep(df: DataFrame) -> DataFrame:
+        kept.append(df)
+        return df
+
     try:
-        yield
+        yield keep
     finally:
-        release_operator_caches(since=start)
+        keep_ids = {id(df) for df in kept}
+        scoped = _ACTIVE[start:]
+        del _ACTIVE[start:]
+        for df in scoped:
+            if id(df) in keep_ids:
+                continue
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
+        # re-register survivors in the enclosing scope, in order
+        _ACTIVE.extend(df for df in scoped if id(df) in keep_ids)

@@ -84,6 +84,10 @@ class ParquetSnapshotStorage:
         with open(path) as f:
             return json.load(f)
 
+    def exists(self, table: str) -> bool:
+        """True once the table has at least one committed snapshot."""
+        return bool(self.snapshots(table))
+
     def current_snapshot(self, table: str) -> str | None:
         snaps = self.snapshots(table)
         return snaps[-1]["id"] if snaps else None
@@ -103,8 +107,15 @@ class ParquetSnapshotStorage:
         snaps = self.snapshots(table)
         snaps.append({"id": snap_id, "committed_at": time.time(), "path": out})
         os.makedirs(os.path.join(self.root, table), exist_ok=True)
-        with open(self._manifest_path(table), "w") as f:
+        # the manifest rewrite IS the commit point: write-temp + atomic
+        # rename so a crash mid-commit leaves either the old manifest
+        # (snapshot dir orphaned and invisible) or the new one — never a
+        # truncated file
+        manifest = self._manifest_path(table)
+        tmp = f"{manifest}.tmp-{snap_id}"
+        with open(tmp, "w") as f:
             json.dump(snaps, f)
+        os.replace(tmp, manifest)
         return snap_id
 
     def read(self, table: str, as_of: str | None = None) -> DataFrame:
@@ -151,10 +162,22 @@ class IcebergStorage:
         self.spark = spark
         self.catalog = catalog
 
+    def exists(self, table: str) -> bool:
+        """Catalog probe — the backend-appropriate existence check
+        (``read`` on a missing Iceberg table raises AnalysisException,
+        not ValueError, so callers must never probe by catching)."""
+        return self.spark.catalog.tableExists(table)
+
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
         # Iceberg partitioning lives in the table spec (PARTITIONED BY at
         # CREATE TABLE); the argument is accepted for interface parity.
-        df.writeTo(table).append()
+        # First write auto-creates the table (writeTo().append() fails on
+        # an uncreated table) — same append-from-nothing contract as the
+        # parquet twin.
+        if not self.exists(table):
+            df.writeTo(table).create()
+        else:
+            df.writeTo(table).append()
         row = self.spark.sql(
             f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).head()

@@ -386,5 +386,58 @@ def test_incremental_minhash_matches_one_shot(spark, tmp_path):
     assert got == one_shot
     # every planted pair is a CROSS-batch pair (even base, odd partner)
     assert all(a % 2 == 0 and b % 2 == 1 for (a, b) in got)
-    # the index holds both batches' bands now
-    assert storage.read("mh_bands").select("doc_id").distinct().count() == 40
+    # the index holds both batches' rows now, under distinct batch ids
+    idx = storage.read("mh_index")
+    assert idx.select("doc_id").distinct().count() == 40
+    assert idx.select("batch_id").distinct().count() == 2
+
+
+def test_incremental_minhash_reappend_is_noop(spark, tmp_path):
+    """Re-submitting an already-folded batch must NOT duplicate index
+    rows (content-derived batch_id + skip-append), and must still return
+    the batch's pairs (recomputed against the index minus its own rows)."""
+    from light_curve_spark.operators.dedup import incremental_minhash_pairs
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    rows = []
+    for i in range(10):
+        base = " ".join(f"w{i}_{j}" for j in range(30))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base.replace(f"w{i}_7 ", "xx ")))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    storage = ParquetSnapshotStorage(spark, str(tmp_path / "mhidx"))
+
+    batch0 = docs.filter(F.col("doc_id") % 2 == 0)
+    batch1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    first = {(r.doc_a, r.doc_b) for r in
+             incremental_minhash_pairs(storage, batch0, threshold=0.5).collect()}
+    release_operator_caches()
+    n_rows = storage.read("mh_index").count()
+    n_snaps = len(storage.snapshots("mh_index"))
+
+    # re-run the SAME batch (different partitioning must not change the id)
+    again = {(r.doc_a, r.doc_b) for r in
+             incremental_minhash_pairs(
+                 storage, batch0.repartition(7), threshold=0.5).collect()}
+    release_operator_caches()
+    assert again == first
+    assert storage.read("mh_index").count() == n_rows, "index rows duplicated"
+    assert len(storage.snapshots("mh_index")) == n_snaps, "extra snapshot appended"
+
+    # a genuinely new batch still folds and pairs across
+    cross = {(r.doc_a, r.doc_b) for r in
+             incremental_minhash_pairs(storage, batch1, threshold=0.5).collect()}
+    release_operator_caches()
+    assert cross and all(a % 2 == 0 and b % 2 == 1 for (a, b) in cross)
+    assert storage.read("mh_index").select("doc_id").distinct().count() == 20
+
+    # re-running batch0 NOW sees batch1 in the index -> returns the
+    # cross pairs too, but still appends nothing
+    n_rows2 = storage.read("mh_index").count()
+    rerun = {(r.doc_a, r.doc_b) for r in
+             incremental_minhash_pairs(storage, batch0, threshold=0.5).collect()}
+    release_operator_caches()
+    assert rerun == first | cross
+    assert storage.read("mh_index").count() == n_rows2
