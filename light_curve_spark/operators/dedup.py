@@ -492,12 +492,43 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _ckpt_subdirs(sc) -> set[str]:
+    """Current entries of the session's reliable checkpoint dir (empty
+    when none configured). Hadoop FileSystem API so local file:, HDFS,
+    and object-store paths all behave the same."""
+    d = sc.getCheckpointDir()
+    if d is None:
+        return set()
+    jvm = sc._jvm  # noqa: SLF001 — hadoop FS access has no pyspark API
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(path):
+        return set()
+    return {st.getPath().toString() for st in fs.listStatus(path)}
+
+
+def _delete_ckpt_dirs(sc, paths: set[str]) -> None:
+    """Delete superseded checkpoint dirs (recursive, best-effort). Long
+    iterative jobs otherwise grow checkpoint storage linearly in rounds —
+    every star round writes a full edge-set copy (round-3 ADVICE)."""
+    if not paths:
+        return
+    jvm = sc._jvm  # noqa: SLF001
+    conf = sc._jsc.hadoopConfiguration()  # noqa: SLF001
+    for p in paths:
+        try:
+            jp = jvm.org.apache.hadoop.fs.Path(p)
+            jp.getFileSystem(conf).delete(jp, True)
+        except Exception:  # noqa: BLE001 — cleanup must never fail the job
+            pass
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
-    algorithm: str = "label-prop",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, keep_id):
     every member of a duplicate cluster labeled with the cluster's
@@ -506,7 +537,16 @@ def dedup_clusters(
     pair emitters (ngram/minhash/simhash) say who MATCHES whom; this
     says which row to KEEP.
 
-    ``algorithm='label-prop'`` (default): iterative min-label
+    ``algorithm='auto'`` (default) resolves to ``'star'``: on an UNKNOWN
+    pair graph the contraction's O(log n) round bound is the safe
+    posture — label propagation needs diameter rounds, and a single
+    chained corpus (every doc matching only its neighbor, the round-3
+    stress shape) turns that into tens of thousands of shuffle rounds.
+    Both algorithms produce identical labels (min id per component);
+    pick ``'label-prop'`` explicitly only when the cluster diameter is
+    KNOWN to be shallow and the lighter per-round plan matters.
+
+    ``algorithm='label-prop'``: iterative min-label
     propagation, all declarative — each round joins the undirected edge
     list against current labels and takes the min over the closed
     neighborhood. Rounds needed = cluster diameter; near-dup clusters are
@@ -528,13 +568,19 @@ def dedup_clusters(
     """
     from light_curve_spark.plans.caching import cache_scope, cached
 
+    if algorithm == "auto":
+        algorithm = "star"
     if algorithm == "star":
+        sc = pairs.sparkSession.sparkContext
         with cache_scope():
-            labels, _ = _star_labels(pairs, a_col, b_col, max_iter)
+            labels, _rounds, edge_ckpts = _star_labels(pairs, a_col, b_col, max_iter)
             labels = _truncate_lineage(labels)
+            # the final edge checkpoint is superseded once labels are
+            # eagerly materialized above
+            _delete_ckpt_dirs(sc, edge_ckpts)
         return labels
     if algorithm != "label-prop":
-        raise ValueError(f"unknown algorithm {algorithm!r}: label-prop | star")
+        raise ValueError(f"unknown algorithm {algorithm!r}: auto | label-prop | star")
 
     with cache_scope():
         fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -584,8 +630,14 @@ def _star_labels(
     b_col: str,
     max_iter: int,
     checkpoint_every: int = 1,
-) -> tuple[DataFrame, int]:
-    """Large-star/small-star contraction -> ((doc_id, keep_id), rounds).
+) -> tuple[DataFrame, int, set[str]]:
+    """Large-star/small-star contraction ->
+    ((doc_id, keep_id), rounds, live_checkpoint_dirs).
+
+    Superseded per-round checkpoints are deleted as soon as the next
+    round is materialized and compared; the returned dir set is the
+    SURVIVING checkpoint backing the final edge set — the caller deletes
+    it once the labels derived from it are themselves truncated.
 
     Each round: LARGE-STAR connects every strictly-larger neighbor of a
     node to the minimum of its closed neighborhood; SMALL-STAR connects
@@ -633,6 +685,8 @@ def _star_labels(
             .distinct()
         )
 
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpts: set[str] = set()
     rounds = 0
     for rounds in range(1, max_iter + 1):
         new_edges = small_star(large_star(edges))
@@ -642,8 +696,11 @@ def _star_labels(
         # every-3) — the compact checkpointed scan beats reads through a
         # deepening cached-plan stack. Negative experiment kept here so
         # nobody "optimizes" this again without re-measuring.
+        created: set[str] = set()
         if rounds % checkpoint_every == 0:
+            before = _ckpt_subdirs(sc)
             new_edges = _truncate_lineage(new_edges)
+            created = _ckpt_subdirs(sc) - before
         new_edges = cached(new_edges)
         same_size = new_edges.count() == edges.count()
         unchanged = (
@@ -651,6 +708,11 @@ def _star_labels(
             and new_edges.join(edges, ["hi", "lo"], "left_anti").limit(1).count() == 0
         )
         edges = new_edges
+        # the previous round's checkpoint is superseded: this round is
+        # eagerly materialized AND the unchanged-comparison (the last
+        # reader of the old edge set) has completed
+        _delete_ckpt_dirs(sc, prev_ckpts)
+        prev_ckpts = created
         if unchanged:
             break
     else:
@@ -667,7 +729,7 @@ def _star_labels(
         .agg(F.min("lo").alias("mn"))
         .select("doc_id", F.least("mn", "doc_id").alias("keep_id"))
     )
-    return labels, rounds
+    return labels, rounds, prev_ckpts
 
 
 def simhash_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:

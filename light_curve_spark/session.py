@@ -59,6 +59,11 @@ def build_session(
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(DEFAULT_MAX_ARROW_BATCH),
         # deterministic timestamps in goldens
         "spark.sql.session.timeZone": "UTC",
+        # iterative operators (star CC) delete superseded round
+        # checkpoints explicitly; this catches the FINAL checkpoint of
+        # each call once its DataFrame is GC'd, so long-running apps
+        # don't accumulate one dir per dedup_clusters() invocation
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         # parquet scans: allow filter pushdown + vectorized reader (defaults,
         # pinned explicitly because goldens depend on pruned scans)
         "spark.sql.parquet.filterPushdown": "true",

@@ -199,7 +199,7 @@ def main() -> None:
     chain = spark.createDataFrame(
         pd.DataFrame({"doc_a": list(range(30)), "doc_b": list(range(1, 31))})
     )
-    labels, _rounds = _star_labels(chain, "doc_a", "doc_b", max_iter=50)
+    labels, _rounds, _ckpts = _star_labels(chain, "doc_a", "doc_b", max_iter=50)
     plan13 = formatted(labels)
     sections.append(
         (

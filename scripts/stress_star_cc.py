@@ -69,7 +69,7 @@ def main() -> None:
     e = edges(spark).persist()
     n_edges = e.count()
     t0 = time.time()
-    labels, rounds = _star_labels(e, "doc_a", "doc_b", max_iter=50)
+    labels, rounds, _ckpts = _star_labels(e, "doc_a", "doc_b", max_iter=50)
     labels = labels.persist()
     n_nodes = labels.count()
     wall = time.time() - t0
