@@ -893,12 +893,146 @@ def simhash_weighted_kernel(docs: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
+def simhash_weighted_approx_kernel(
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_rate: float = 0.1,
+    max_vocab: int = 4_000_000,
+) -> DataFrame:
+    """(doc_id, sh): IDF-weighted SimHash with SAMPLED document
+    frequencies — the scale path that cuts BOTH word-instance shuffles
+    of :func:`simhash_weighted_kernel` (round-3 verdict item 5).
+
+    The exact kernel's shuffles exist only to compute df: explode ->
+    per-(doc,word) tf aggregate -> vocabulary df -> weight join ->
+    regroup. But df only picks an integer log2 weight BUCKET — it does
+    not need to be exact. Here df is estimated on a DETERMINISTIC doc
+    sample (``xxhash64(doc_id) % k == 0``, partition-independent), the
+    sampled vocabulary is broadcast as sorted numpy arrays, and ONE
+    mapInArrow pass computes per-doc tf (lexsort run-lengths over the
+    Arrow list buffer), weight lookup (searchsorted), and the exact
+    integer bit votes. Zero word-instance shuffles: the only shuffle
+    left is the vocabulary aggregate over the sample (~``sample_rate``
+    of the corpus), and the votes themselves stay EXACT ints — only the
+    weight bucket is approximate.
+
+    Estimator: df_est = floor(df_sample / rate) for sampled words;
+    words absent from the sample get df_est = 1 -> the maximum weight,
+    which is what rare words deserve. Hot words — the Zipf-saturation
+    cause the weighting exists to fix — are estimated most accurately.
+    ``max_vocab`` bounds the broadcast by keeping the highest-df sampled
+    words (the ones whose weights actually differ from the rare-word
+    maximum); at 100 TB pick rate so the sampled vocab stays ~10^7.
+
+    With ``sample_rate=1.0`` the estimate is exact and the output is
+    bit-identical to :func:`simhash_weighted_kernel` (pytest-asserted) —
+    the fast path degrades the WEIGHTS, never the vote arithmetic."""
+    import pyarrow as pa
+
+    if not (0.0 < sample_rate <= 1.0):
+        raise ValueError(f"sample_rate must be in (0, 1], got {sample_rate}")
+    k = max(1, round(1.0 / sample_rate))
+    rate = 1.0 / k
+
+    words = F.split(_norm_text(text_col), " ")
+    gram_arr = F.transform(words, lambda w: F.xxhash64(w))
+    sample = docs if k == 1 else docs.filter(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(k)) == 0
+    )
+    vocab_pdf = (
+        sample.select(F.explode(F.array_distinct(gram_arr)).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("df_s"))
+        .orderBy(F.desc("df_s"), "h")
+        .limit(max_vocab)
+        .toPandas()
+    )
+    n_docs = docs.count()
+    raw_h = vocab_pdf["h"].to_numpy(np.int64).view(np.uint64)
+    order = np.argsort(raw_h, kind="stable")
+    vh = raw_h[order]
+    vdf = np.maximum(
+        (vocab_pdf["df_s"].to_numpy(np.int64)[order].astype(np.float64) / rate)
+        .astype(np.int64),
+        1,
+    )
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast((vh, vdf, int(n_docs)))
+
+    hashed = ensure_min_splits(docs).select("doc_id", gram_arr.alias("_h"))
+    out_schema = StructType(
+        [docs.schema["doc_id"], StructField("sh", LongType(), False)]
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def fn(batches):
+        vhash, vdfreq, n_total = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            h = b.column(b.schema.get_field_index("_h"))
+            off = h.offsets.to_numpy()
+            lengths = (off[1:] - off[:-1]).astype(np.int64)
+            if h.null_count:
+                lengths = np.where(np.asarray(h.is_valid()), lengths, 0)
+            flat = h.flatten().to_numpy().astype(np.int64).view(np.uint64)
+            seg = np.repeat(np.arange(lengths.shape[0], dtype=np.int64), lengths)
+            # per-doc term frequencies: sort word hashes within each doc
+            # segment, then run-length the (segment, hash) runs
+            order = np.lexsort((flat, seg))
+            fs, sg = flat[order], seg[order]
+            new_run = np.ones(fs.shape[0], dtype=bool)
+            if fs.shape[0]:
+                new_run[1:] = (fs[1:] != fs[:-1]) | (sg[1:] != sg[:-1])
+            run_starts = np.nonzero(new_run)[0]
+            tf = np.diff(np.append(run_starts, fs.shape[0]))
+            run_hash = fs[run_starts]
+            run_seg = sg[run_starts]
+            # broadcast df lookup; absent words -> df_est 1 (max weight)
+            if vhash.shape[0]:
+                pos = np.searchsorted(vhash, run_hash)
+                pos_c = np.minimum(pos, vhash.shape[0] - 1)
+                found = vhash[pos_c] == run_hash
+                df_est = np.where(found, vdfreq[pos_c], 1)
+            else:
+                df_est = np.ones(run_hash.shape[0], dtype=np.int64)
+            ratio = np.maximum(n_total // np.maximum(df_est, 1), 1)
+            # floor(log2(ratio)) EXACTLY: frexp's exponent is exact for
+            # every int64 < 2^53 (no libm rounding on the hash path)
+            w = np.frexp(ratio.astype(np.float64))[1].astype(np.int64) - 1
+            wv = tf * w
+            bits = (run_hash[:, None] >> shifts) & np.uint64(1)
+            contrib = np.zeros((run_hash.shape[0] + 1, 64), dtype=np.int64)
+            contrib[:-1] = np.where(bits.astype(bool), wv[:, None], -wv[:, None])
+            # reduceat boundaries: first run of each nonempty doc; empty
+            # docs get sh=0 via the lengths==0 mask below
+            doc_first = np.ones(run_seg.shape[0], dtype=bool)
+            if run_seg.shape[0]:
+                doc_first[1:] = run_seg[1:] != run_seg[:-1]
+            starts = np.nonzero(doc_first)[0]
+            votes = np.zeros((lengths.shape[0], 64), dtype=np.int64)
+            if starts.shape[0]:
+                votes[run_seg[starts]] = np.add.reduceat(contrib, starts, axis=0)
+            pos_votes = votes > 0
+            pos_votes[lengths == 0] = False
+            sh = (pos_votes.astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            ).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("doc_id")), pa.array(sh)],
+                ["doc_id", "sh"],
+            )
+
+    return hashed.mapInArrow(fn, schema=out_schema)
+
+
 def simhash_dedup(
     docs: DataFrame,
     band_bits: int = 16,
     text_col: str = "text",
     max_hamming: int | None = None,
     weighted: bool = False,
+    approx_df: float | None = None,
 ) -> DataFrame:
     """Near-dup candidates by SimHash: documents sharing any of the four
     16-bit bands of their 64-bit simhash (standard Hamming-distance
@@ -910,12 +1044,24 @@ def simhash_dedup(
 
     ``weighted=True`` uses :func:`simhash_weighted_kernel` (IDF votes) —
     required on large Zipf-vocabulary corpora, where the unweighted
-    hash saturates (see BENCH.md round-3 stress finding)."""
+    hash saturates (see BENCH.md round-3 stress finding). ``approx_df``
+    (a sample rate, with ``weighted=True``) swaps in
+    :func:`simhash_weighted_approx_kernel` — sampled-df broadcast
+    weights, zero word-instance shuffles — for the 100 TB fast path;
+    the exact kernel remains the oracle/contract path."""
     # persist the (doc_id, sh) table: both sides of the band self-join
     # consume it — uncached, the text normalization + word hashing +
     # bit-vote kernel would run twice (and inherit however few input
     # splits the source has; the cache read re-parallelizes downstream)
-    kernel = simhash_weighted_kernel if weighted else simhash_kernel
+    if approx_df is not None and not weighted:
+        raise ValueError("approx_df requires weighted=True")
+    if weighted and approx_df is not None:
+        def kernel(d, tc):
+            return simhash_weighted_approx_kernel(d, tc, sample_rate=approx_df)
+    elif weighted:
+        kernel = simhash_weighted_kernel
+    else:
+        kernel = simhash_kernel
     sh = cached(kernel(docs, text_col))
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1

@@ -1,0 +1,202 @@
+"""Round-4 hardening: sampled-df weighted SimHash (zero-shuffle fast
+path), incremental index idempotency (see test_round3 additions), CC
+auto-select, document-pipeline composition."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _zipf_corpus(n_docs: int = 120, seed: int = 3) -> pd.DataFrame:
+    """Deterministic Zipf-ish corpus: hot shared words + per-doc rare
+    words, with planted near-dup partners, a null doc and an empty doc."""
+    rows = []
+    hot = " ".join(f"the{j}" for j in range(12))
+    for i in range(n_docs):
+        u = ((i * 2654435761 + seed) % 97) / 97.0
+        rare = " ".join(f"r{i}_{j}" for j in range(3 + int(u * 8)))
+        rows.append((2 * i, f"{hot} {rare} {hot}"))
+        if i % 4 == 0:  # near-dup partner differing by one rare word
+            rows.append((2 * i + 1, f"{hot} {rare} xx {hot}"))
+        else:
+            rows.append((2 * i + 1, f"{hot} q{i}_a q{i}_b q{i}_c {hot}"))
+    rows.append((10_000, None))
+    rows.append((10_001, "   "))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_approx_weighted_simhash_rate1_bitmatches_exact(spark):
+    """sample_rate=1.0 makes df_est exact, so the sampled-df kernel must
+    be BIT-IDENTICAL to the exact two-shuffle kernel — including repeated
+    words (tf), null text, and whitespace-only docs."""
+    from light_curve_spark.operators.dedup import (
+        simhash_weighted_approx_kernel,
+        simhash_weighted_kernel,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+
+    docs = spark.createDataFrame(_zipf_corpus()).repartition(5)
+    exact = {r.doc_id: r.sh for r in simhash_weighted_kernel(docs).collect()}
+    approx = {
+        r.doc_id: r.sh
+        for r in simhash_weighted_approx_kernel(docs, sample_rate=1.0).collect()
+    }
+    release_operator_caches()
+    assert approx == exact
+    # null text -> no words -> sh 0; whitespace-only text normalizes to
+    # ONE empty-string word (split convention, same in both kernels)
+    assert exact[10_000] == 0 and exact[10_001] != 0
+
+
+def test_approx_weighted_simhash_sampled_close_to_exact(spark):
+    """At sample_rate<1 the weight BUCKETS (integer log2) absorb the
+    sampling noise: per-doc hamming between the exact and sampled-df
+    hashes must be small, and hot-word saturation must stay fixed."""
+    from collections import Counter
+
+    from light_curve_spark.operators.dedup import (
+        simhash_weighted_approx_kernel,
+        simhash_weighted_kernel,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+
+    docs = spark.createDataFrame(_zipf_corpus(n_docs=200)).repartition(5)
+    exact = {r.doc_id: r.sh for r in simhash_weighted_kernel(docs).collect()}
+    sh = {
+        r.doc_id: r.sh
+        for r in simhash_weighted_approx_kernel(docs, sample_rate=0.25).collect()
+    }
+    release_operator_caches()
+    dists = np.array(
+        [bin((exact[k] ^ sh[k]) & (2**64 - 1)).count("1") for k in exact]
+    )
+    assert np.median(dists) <= 4, f"approx drifted from exact: median {np.median(dists)}"
+    assert np.percentile(dists, 90) <= 16
+
+    modal = Counter(v for k, v in sh.items() if k < 10_000).most_common(1)[0][1]
+    assert modal < 40, f"modal hash shared by {modal} docs — saturation returned"
+
+
+def test_approx_df_requires_weighted(spark):
+    from light_curve_spark.operators.dedup import simhash_dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+    with pytest.raises(ValueError, match="weighted"):
+        simhash_dedup(docs, approx_df=0.5)
+
+    with pytest.raises(ValueError, match="sample_rate"):
+        from light_curve_spark.operators.dedup import simhash_weighted_approx_kernel
+
+        simhash_weighted_approx_kernel(docs, sample_rate=0.0)
+
+
+def _pipeline_corpus() -> pd.DataFrame:
+    """Small corpus with one planted failure mode per pipeline stage:
+    exact dups, a near-dup cluster chain, eval contamination, and a
+    garbage low-quality doc."""
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(f"bg{i}_{j} common{j % 5}" for j in range(25))))
+    rows.append((100, rows[0][1]))            # exact dup of doc 0
+    rows.append((101, rows[1][1].upper()))    # exact dup of doc 1 (normalized)
+    base = " ".join(f"c_{j}" for j in range(30))
+    rows.append((110, base))                  # near-dup cluster 110-111-112
+    rows.append((111, base.replace("c_7 ", "x ")))
+    rows.append((112, base.replace("c_9 ", "y ")))
+    rows.append((120, " ".join(f"evalgram{j}" for j in range(30))))  # contaminated
+    rows.append((130, "!!!! ???? ;;;; ::::"))  # low quality
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _eval_corpus() -> pd.DataFrame:
+    return pd.DataFrame(
+        [(9000, " ".join(f"evalgram{j}" for j in range(30)))],
+        columns=["doc_id", "text"],
+    )
+
+
+def _run_doc_pipeline(spark, tmp_path, name):
+    from light_curve_spark.plans.doc_pipeline import (
+        DocPipelineConfig,
+        run_document_pipeline,
+    )
+
+    docs = spark.createDataFrame(_pipeline_corpus()).repartition(4)
+    ev = spark.createDataFrame(_eval_corpus())
+    cfg = DocPipelineConfig(
+        out_root=str(tmp_path / name),
+        input_snapshot="v1",
+        min_quality=0.05,
+        contamination_min_shared=2,
+    )
+    return docs, ev, cfg
+
+
+def test_document_pipeline_end_to_end(spark, tmp_path):
+    from light_curve_spark.plans.doc_pipeline import run_document_pipeline
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    docs, ev, cfg = _run_doc_pipeline(spark, tmp_path, "dp1")
+    stats = run_document_pipeline(spark, docs, cfg, eval_docs=ev)
+    assert stats["stages_run"] == 6
+
+    st = ParquetSnapshotStorage(spark, cfg.out_root)
+    status = {r.doc_id: r.drop_stage for r in st.read("dp_doc_status").collect()}
+    assert len(status) == 37
+    assert status[100] == "exact" and status[101] == "exact"
+    # near-dup cluster: min id 110 survives, 111/112 dropped
+    assert status[110] is None and status[111] == "clusters"
+    assert status[112] == "clusters"
+    assert status[120] == "contamination"
+    assert status[130] == "filters"
+    assert all(status[i] is None for i in range(30))
+
+    clean = st.read_snapshot("dp_clean")
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert kept == {i for i in range(30)} | {110}
+    assert {"lang_pred", "quality", "ws_tokens", "text"} <= set(clean.columns)
+
+    metrics = st.read("dp_metrics").collect()
+    assert {m.stage for m in metrics} == {
+        "exact", "pairs", "clusters", "contamination", "filters", "finalize"
+    }
+    stats_rows = st.read_snapshot("dp_stats").collect()
+    assert sum(r.n_docs for r in stats_rows) == 31
+
+
+def test_document_pipeline_resumes_mid_run(spark, tmp_path, monkeypatch):
+    """Crash the job between the pairs and clusters stages; the re-run
+    must skip completed stages and produce byte-identical final outputs
+    to an uninterrupted run."""
+    import light_curve_spark.plans.doc_pipeline as dp
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    docs, ev, cfg = _run_doc_pipeline(spark, tmp_path, "dp2")
+
+    real_clusters = dp.dedup_clusters
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-pipeline crash")
+
+    monkeypatch.setattr(dp, "dedup_clusters", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        dp.run_document_pipeline(spark, docs, cfg, eval_docs=ev)
+    monkeypatch.setattr(dp, "dedup_clusters", real_clusters)
+
+    stats = dp.run_document_pipeline(spark, docs, cfg, eval_docs=ev)
+    assert stats["stages_skipped"] == 2  # exact + pairs survived the crash
+    assert stats["stages_run"] == 4
+
+    st = ParquetSnapshotStorage(spark, cfg.out_root)
+    status = {r.doc_id: r.drop_stage for r in st.read("dp_doc_status").collect()}
+    ref_docs, ref_ev, ref_cfg = _run_doc_pipeline(spark, tmp_path, "dp_ref")
+    dp.run_document_pipeline(spark, ref_docs, ref_cfg, eval_docs=ref_ev)
+    st_ref = ParquetSnapshotStorage(spark, ref_cfg.out_root)
+    ref_status = {
+        r.doc_id: r.drop_stage for r in st_ref.read("dp_doc_status").collect()
+    }
+    assert status == ref_status
+    # a third run is a full no-op
+    stats3 = dp.run_document_pipeline(spark, docs, cfg, eval_docs=ev)
+    assert stats3["stages_run"] == 0 and stats3["stages_skipped"] == 6
