@@ -108,7 +108,8 @@ def encode_chunks(
     chunk of a split outlier starts at chunk_no * max_len.
 
     ``with_lineage=True`` adds ``_pid`` (TaskContext partition id) and
-    ``_wall_ms`` (encode wall time, spread over the batch's rows) columns
+    ``_wall_ms`` (encode wall time; the batch total rides on the batch's
+    first row, so SUM per ``_pid`` is the exact task wall) columns
     measured inside the same kernel pass — the pipeline aggregates them
     into the metrics table without a second scan.
     """
@@ -186,9 +187,18 @@ def encode_chunks(
             names = list(cols)
             if with_lineage:
                 wall = int((time.time() - t_start) * 1000)
+                # batch wall carried ON THE FIRST ROW (zero elsewhere):
+                # SUM per _pid reconstructs the task wall EXACTLY. The
+                # old per-row integer spread (wall // nrows) truncated to
+                # zero whenever a batch encoded faster than 1 ms/row —
+                # silently under-reporting every non-straggler task
+                # (found by the round-4 mega-key skew bench).
+                w = np.zeros(nrows, dtype=np.int64)
+                if nrows:
+                    w[0] = wall
                 arrays += [
                     pa.array(np.full(nrows, pid, dtype=np.int32)),
-                    pa.array(np.full(nrows, wall // max(nrows, 1), dtype=np.int64)),
+                    pa.array(w),
                 ]
                 names += ["_pid", "_wall_ms"]
             yield pa.RecordBatch.from_arrays(arrays, names)

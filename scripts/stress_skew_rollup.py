@@ -64,9 +64,12 @@ def _run(spark, seq, num_partitions: int):
     spread.count()
     rollup_n = rollup_tiers_arrays(spread).count()
     chunks = encode_chunks(spread, with_lineage=True)
+    # _wall_ms is the kernel wall spread across the batch's rows — SUM
+    # per partition id reconstructs each task's encode wall (same
+    # aggregation as the pipeline's metrics table)
     per_task = (
         chunks.groupBy("_pid")
-        .agg(F.max("_wall_ms").alias("wall_ms"), F.count("*").alias("rows"))
+        .agg(F.sum("_wall_ms").alias("wall_ms"), F.count("*").alias("rows"))
         .collect()
     )
     wall = time.time() - t0
@@ -100,6 +103,7 @@ def main() -> None:
 
     base = synthetic_sequences(spark, n_seq, seed=42, num_partitions=64)
     res = {"n_seq": n_seq, "mega_tokens": mega_tok, "cpus": cpus}
+    _run(spark, base, num_partitions=4 * cpus)  # warmup (JIT + page cache)
     res["baseline"] = _run(spark, base, num_partitions=4 * cpus)
     with_mega = base.unionByName(_mega_doc(spark, mega_tok))
     res["with_mega_key"] = _run(spark, with_mega, num_partitions=4 * cpus)
