@@ -127,6 +127,10 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     base_n = int(os.environ.get("SPARK_GRAFT_ANN_N", "1000000"))
+    n_cents = int(os.environ.get("SPARK_GRAFT_ANN_CENTROIDS", "64"))
+    sizes = [base_n, 2 * base_n]
+    if os.environ.get("SPARK_GRAFT_ANN_SINGLE"):
+        sizes = [base_n]
     spark = build_session(
         app_name="stress-ann", master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
@@ -138,7 +142,7 @@ def main() -> None:
     queries = _queries()
     k = 10
 
-    for n in (base_n, 2 * base_n):
+    for n in sizes:
         path = os.path.join(root, f"emb_{n}.parquet")
         t0 = time.time()
         synth_embeddings(spark, n).write.parquet(path)
@@ -146,7 +150,7 @@ def main() -> None:
         emb.count()
         gen_s = time.time() - t0
         res = {"n_vectors": n, "dim": DIM, "cpus": cpus,
-               "gen_s": round(gen_s, 1)}
+               "n_centroids": n_cents, "gen_s": round(gen_s, 1)}
 
         # exact truth + brute wall
         t0 = time.time()
@@ -171,7 +175,8 @@ def main() -> None:
         t0 = time.time()
         for q in queries[:3]:
             ivf_ann_topk(
-                emb, list(q), k=k, n_centroids=64, nprobe=8, sample_size=8192
+                emb, list(q), k=k, n_centroids=n_cents, nprobe=8,
+                sample_size=max(8192, 32 * n_cents),
             ).collect()
         one_shot_ivf = (time.time() - t0) / 3
 
@@ -181,10 +186,19 @@ def main() -> None:
             "_bucket", lsh_bucket_expr("embedding", planes)
         ).persist()
         bucketed.count()
+        # bucket-size map -> candidate fraction per query WITHOUT extra
+        # jobs; this is the fraction of the table a bucket-partitioned
+        # layout would actually SCAN (at 100 TB the bucket is the
+        # partition column, so probes prune at the source — local-mode
+        # walls below still pay a full cached-table scan per query)
+        lsh_sizes = {
+            r._bucket: r["count"]
+            for r in bucketed.groupBy("_bucket").count().collect()
+        }
         lsh_curves = {}
         for ph in (0, 1, 2):
             t0 = time.time()
-            got = []
+            got, fracs = [], []
             for q in queries:
                 qb = 0
                 for i, plane in enumerate(planes):
@@ -199,35 +213,44 @@ def main() -> None:
                         for i in range(12)
                         for j in range(i + 1, 12)
                     ]
+                fracs.append(sum(lsh_sizes.get(b, 0) for b in probe) / n)
                 cand = bucketed.filter(F.col("_bucket").isin(probe))
                 got.append({r.vec_id for r in cosine_topk(cand, list(q), k=k).collect()})
             lsh_curves[f"probe_hamming_{ph}"] = {
                 "recall_at_10": recall(got),
                 "wall_per_query_s": round((time.time() - t0) / len(queries), 2),
+                "candidate_frac": round(float(np.mean(fracs)), 4),
             }
 
         # indexed posture: IVF centroids trained + assigned once
         t0 = time.time()
         cents = train_ivf_centroids(
-            emb, n_centroids=64, iters=5, sample_size=8192
+            emb, n_centroids=n_cents, iters=5,
+            sample_size=max(8192, 32 * n_cents),
         )
         train_s = time.time() - t0
         t0 = time.time()
         assigned = ivf_assign(emb, cents).persist()
         assigned.count()
         assign_s = time.time() - t0
+        ivf_sizes = {
+            r._bucket: r["count"]
+            for r in assigned.groupBy("_bucket").count().collect()
+        }
         ivf_curves = {}
         for nprobe in (1, 2, 4, 8, 16):
             t0 = time.time()
-            got = []
+            got, fracs = [], []
             for q in queries:
                 d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
                 probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+                fracs.append(sum(ivf_sizes.get(b, 0) for b in probe) / n)
                 cand = assigned.filter(F.col("_bucket").isin(probe))
                 got.append({r.vec_id for r in cosine_topk(cand, list(q), k=k).collect()})
             ivf_curves[f"nprobe_{nprobe}"] = {
                 "recall_at_10": recall(got),
                 "wall_per_query_s": round((time.time() - t0) / len(queries), 2),
+                "candidate_frac": round(float(np.mean(fracs)), 4),
             }
 
         res["lsh"] = {"one_shot_wall_per_query_s": round(one_shot_lsh, 2),
