@@ -292,7 +292,10 @@ def run_document_pipeline(
                 )
             )
             clean = surv.join(attrs, "doc_id")
-            storage.append(clean, "dp_clean")
+            # partition the clean corpus by predicted language: a
+            # training-mix consumer filters by lang, and at 100 TB that
+            # filter must prune at the source, not post-scan
+            storage.append(clean, "dp_clean", partition_by=["lang_pred"])
 
             all_losers = storage.read("dp_losers")
             status = docs.select("doc_id").join(

@@ -200,3 +200,55 @@ def test_document_pipeline_resumes_mid_run(spark, tmp_path, monkeypatch):
     # a third run is a full no-op
     stats3 = dp.run_document_pipeline(spark, docs, cfg, eval_docs=ev)
     assert stats3["stages_run"] == 0 and stats3["stages_skipped"] == 6
+
+
+def test_ivf_partitioned_layout_prunes_at_source(spark, tmp_path):
+    """write_ivf_partitioned + read_ivf_probe: the probe filter must be
+    a PARTITION filter (source-level pruning — the 100 TB posture the
+    ANN stress bench's candidate_frac measures), and probe results must
+    equal the post-scan filter on the unpartitioned table."""
+    from light_curve_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        read_ivf_probe,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    n, dim = 2000, 8
+    ids = np.arange(n)
+    vecs = ((ids[:, None] * 37 + np.arange(dim)[None, :] * 101) % 97) / 97.0 - 0.5
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]})
+    )
+    cents = train_ivf_centroids(emb, n_centroids=8, iters=3, sample_size=512)
+    path = str(tmp_path / "ivf")
+    write_ivf_partitioned(emb, cents, path)
+
+    q = [0.1] * dim
+    probe_df = read_ivf_probe(spark, path, cents, q, nprobe=2)
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters")[1][:200], (
+        "probe filter did not reach the partition level"
+    )
+
+    # parity: probed partitions == bucket filter on the full assignment
+    assigned = ivf_assign(emb, cents)
+    import numpy as _np
+
+    d2 = ((_np.asarray(cents) - _np.asarray(q)[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in _np.argsort(d2, kind="stable")[:2]]
+    expect = {
+        r.vec_id for r in assigned.filter(F.col("_bucket").isin(probe)).collect()
+    }
+    got = {r.vec_id for r in probe_df.collect()}
+    assert got == expect and got
+    # and the ANN result over the pruned read matches the full-table one
+    top_pruned = [r.vec_id for r in cosine_topk(probe_df, q, k=5).collect()]
+    top_full = [
+        r.vec_id
+        for r in cosine_topk(
+            assigned.filter(F.col("_bucket").isin(probe)), q, k=5
+        ).collect()
+    ]
+    assert top_pruned == top_full
