@@ -252,3 +252,68 @@ def test_ivf_partitioned_layout_prunes_at_source(spark, tmp_path):
         ).collect()
     ]
     assert top_pruned == top_full
+
+
+def test_stream_dedup_matches_one_shot(spark, tmp_path):
+    """Documents arriving as stream files fold into the MinHash index;
+    pairs accumulated over arrivals == one-shot minhash_lsh_pairs, a
+    later arrival adds its cross pairs, and a no-new-data pass changes
+    nothing (stream checkpoint + idempotent batch ids)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from light_curve_spark.operators.dedup import minhash_lsh_pairs
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.documents import (
+        read_stream_pairs,
+        run_stream_dedup,
+    )
+
+    rows = []
+    for i in range(15):
+        base = " ".join(f"w{i}_{j}" for j in range(30))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base.replace(f"w{i}_7 ", "xx ")))  # partner
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    storage = ParquetSnapshotStorage(spark, str(tmp_path / "idx"))
+    # batch 1: evens; batch 2: odds -> every planted pair is cross-batch
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        in_dir + "/b1"
+    )
+    run_stream_dedup(spark, in_dir + "/*", schema, storage, ckpt)
+    assert read_stream_pairs(storage).count() == 0  # partners not arrived yet
+
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        in_dir + "/b2"
+    )
+    run_stream_dedup(spark, in_dir + "/*", schema, storage, ckpt)
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in read_stream_pairs(storage).collect()
+    }
+    one_shot = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    release_operator_caches()
+    assert got == one_shot and got
+
+    # drained stream: nothing new to process, nothing changes
+    n_idx = storage.read("mh_index").count()
+    n_pairs_rows = storage.read("mh_pairs").count()
+    run_stream_dedup(spark, in_dir + "/*", schema, storage, ckpt)
+    assert storage.read("mh_index").count() == n_idx
+    assert storage.read("mh_pairs").count() == n_pairs_rows
+    assert {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in read_stream_pairs(storage).collect()
+    } == one_shot
