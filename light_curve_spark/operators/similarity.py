@@ -365,6 +365,7 @@ def write_ivf_partitioned(
     centroids: np.ndarray,
     path: str,
     vec_col: str = "embedding",
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Persist an embedding table PARTITIONED BY its IVF bucket — the
     production ANN layout (round-4 follow-through on the stress-ANN
@@ -376,10 +377,17 @@ def write_ivf_partitioned(
 
     One zero-shuffle assignment pass (:func:`ivf_assign`) then a
     partitioned write; Spark splits files within each bucket dir, so
-    bucket skew degrades file sizes, not task feasibility."""
-    ivf_assign(emb, centroids, vec_col=vec_col).write.partitionBy(
-        "_bucket"
-    ).parquet(path)
+    bucket skew degrades file sizes, not task feasibility.
+
+    ``shuffle_partitions``: when set, hash-repartition on ``_bucket``
+    first so each bucket's rows co-locate and the write emits O(buckets)
+    files instead of O(tasks x buckets) — worth one shuffle when the
+    table is written once and probed forever (the ANN serving case);
+    leave None for the zero-shuffle append posture."""
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col)
+    if shuffle_partitions:
+        assigned = assigned.repartition(shuffle_partitions, F.col("_bucket"))
+    assigned.write.partitionBy("_bucket").parquet(path)
 
 
 def read_ivf_probe(
