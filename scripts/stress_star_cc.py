@@ -66,6 +66,13 @@ def main() -> None:
         shuffle_partitions=4 * cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # reliable checkpoint dir: exercises the round-4 superseded-round
+    # cleanup at stress scale (pre-r4, ~16 rounds x ~full-edge-set
+    # copies accumulated here)
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="starcc-ckpt-")
+    spark.sparkContext.setCheckpointDir(ckpt)
     e = edges(spark).persist()
     n_edges = e.count()
     t0 = time.time()
@@ -85,6 +92,12 @@ def main() -> None:
                 "wall_s": round(wall, 1),
                 "n_clusters": n_clusters,
                 "mega_chain_size": mega_size,
+                "surviving_ckpt_dirs": sum(
+                    1
+                    for dp, dirs, _ in os.walk(ckpt)
+                    for d in dirs
+                    if d.startswith("rdd-")
+                ),
                 "expected": {"clusters": 150_000 + 1 + 10_000, "mega": P},
             }
         )
