@@ -317,3 +317,49 @@ def test_stream_dedup_matches_one_shot(spark, tmp_path):
         (r.doc_a, r.doc_b): round(r.jaccard, 9)
         for r in read_stream_pairs(storage).collect()
     } == one_shot
+
+
+def test_approx_weighted_simhash_rate1_matches_scalar_reference(spark):
+    """Close the triangle independently of the exact Spark kernel: the
+    sampled-df kernel at rate 1.0 must equal the naive scalar reference
+    (scripts/oracle_impl.simhash_weighted_ref) on adversarial corpora —
+    unicode, heavy repetition, null text, empty/whitespace strings."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "scripts"))
+    from oracle_impl import simhash_weighted_ref
+
+    from light_curve_spark.operators.dedup import simhash_weighted_approx_kernel
+    from light_curve_spark.plans.caching import release_operator_caches
+
+    corpora = []
+    for seed in range(3):
+        rows = []
+        for i in range(40):
+            k = (i * 2654435761 + seed) % 7
+            if k == 0:
+                rows.append((i, None))
+            elif k == 1:
+                rows.append((i, ""))
+            elif k == 2:
+                rows.append((i, "  MiXeD   Case\tWS  "))
+            elif k == 3:
+                rows.append((i, ("héllo wörld ünïcode " * (i % 5 + 1)).strip()))
+            elif k == 4:
+                rows.append((i, " ".join(f"rep{seed}" for _ in range(i + 1))))
+            else:
+                rows.append(
+                    (i, " ".join(f"w{seed}_{i}_{j}" for j in range(3 + i % 9)))
+                )
+        corpora.append(rows)
+
+    for rows in corpora:
+        expect = simhash_weighted_ref(rows)
+        docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+        got = {
+            r.doc_id: r.sh
+            for r in simhash_weighted_approx_kernel(docs, sample_rate=1.0).collect()
+        }
+        release_operator_caches()
+        assert got == expect
