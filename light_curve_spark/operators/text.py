@@ -35,34 +35,39 @@ def _marker_hits(words: F.Column, markers: list[str]) -> F.Column:
     ).cast("double")
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID: (doc_id, lang_pred, lang_score).
-
-    Per language: fraction of words that are that language's markers;
-    argmax wins, 'und' (undetermined) when no marker hits at all."""
+def _lang_score_cols(text_col: str) -> list[F.Column]:
+    """Per-language marker-fraction score columns (score_<lang>)."""
     words = _words(text_col)
     n = F.greatest(F.size(words), F.lit(1)).cast("double")
-    scored = docs.select(
-        "doc_id",
-        *[
-            (_marker_hits(words, m) / n).alias(f"score_{lang}")
-            for lang, m in _LANG_MARKERS.items()
-        ],
-    )
+    return [
+        (_marker_hits(words, m) / n).alias(f"score_{lang}")
+        for lang, m in _LANG_MARKERS.items()
+    ]
+
+
+def _lang_pred_cols() -> tuple[F.Column, F.Column]:
+    """(lang_pred, lang_score) argmax expressions over score_<lang>
+    columns produced by :func:`_lang_score_cols`."""
     langs = list(_LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.when(best <= 0.0, F.lit("und"))
     for lang in langs:
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return scored.select(
-        "doc_id", pred.alias("lang_pred"), best.alias("lang_score")
-    )
+    return pred.alias("lang_pred"), best.alias("lang_score")
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality features + composite score:
-    (doc_id, n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
-    upper_ratio, quality). Pure expressions."""
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: (doc_id, lang_pred, lang_score).
+
+    Per language: fraction of words that are that language's markers;
+    argmax wins, 'und' (undetermined) when no marker hits at all."""
+    scored = docs.select("doc_id", *_lang_score_cols(text_col))
+    pred, best = _lang_pred_cols()
+    return scored.select("doc_id", pred, best)
+
+
+def _quality_cols(text_col: str) -> list[F.Column]:
+    """Quality feature + composite-score columns (aliased)."""
     t = F.col(text_col)
     words = _words(text_col)
     n_chars = F.length(t).cast("double")
@@ -89,8 +94,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.lit(0.0),
     )
-    return docs.select(
-        "doc_id",
+    return [
         n_chars.alias("n_chars_m"),
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
@@ -98,7 +102,25 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         upper_ratio.alias("upper_ratio"),
         quality.alias("quality"),
-    )
+    ]
+
+
+def _token_cols(text_col: str) -> list[F.Column]:
+    """Whitespace + BPE-ish token-count columns (aliased)."""
+    t = F.trim(F.col(text_col))
+    ws = F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+    pieces = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"))
+    return [
+        ws.cast("long").alias("ws_tokens"),
+        pieces.cast("long").alias("bpe_tokens"),
+    ]
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+    (doc_id, n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
+    upper_ratio, quality). Pure expressions."""
+    return docs.select("doc_id", *_quality_cols(text_col))
 
 
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -107,13 +129,38 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - bpe_tokens: BPE-ish regex pieces (letter runs / digit runs /
       single punctuation), a deterministic proxy for subword tokenizers.
     """
-    t = F.trim(F.col(text_col))
-    ws = F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
-    pieces = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"))
-    return docs.select(
-        "doc_id",
-        ws.cast("long").alias("ws_tokens"),
-        pieces.cast("long").alias("bpe_tokens"),
+    return docs.select("doc_id", *_token_cols(text_col))
+
+
+def document_attributes(
+    docs: DataFrame, text_col: str = "text", include_input: bool = False
+) -> DataFrame:
+    """All per-document text attributes — (lang_pred, lang_score,
+    quality, ws_tokens, bpe_tokens) — in ONE projection pass.
+
+    The separate :func:`language_id` / :func:`quality_score` /
+    :func:`token_count` operators are the oracle-gated contract surface;
+    composing them with doc_id joins costs three corpus scans and two
+    shuffles for columns that are ALL pure per-row expressions. This
+    builder selects the union of the same shared expression builders, so
+    a pipeline stage pays one scan and zero shuffles (round-4 fix for
+    the document pipeline's filters/finalize stages).
+
+    ``include_input=True`` keeps every input column alongside the
+    attributes (the finalize posture: clean corpus + attributes with no
+    join at all)."""
+    base = [F.col(c) for c in docs.columns] if include_input else [F.col("doc_id")]
+    scored = docs.select(
+        *base, *_lang_score_cols(text_col), *_quality_cols(text_col),
+        *_token_cols(text_col),
+    )
+    pred, best = _lang_pred_cols()
+    keep = [c for c in scored.columns if not c.startswith("score_")]
+    return scored.select(
+        *[F.col(c) for c in keep[: len(base)]],
+        pred,
+        best,
+        *[F.col(c) for c in keep[len(base):]],
     )
 
 

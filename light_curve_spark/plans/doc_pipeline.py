@@ -46,11 +46,7 @@ from light_curve_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
 )
-from light_curve_spark.operators.text import (
-    language_id,
-    quality_score,
-    token_count,
-)
+from light_curve_spark.operators.text import document_attributes
 from light_curve_spark.plans.caching import cache_scope
 
 STAGES = ("exact", "pairs", "clusters", "contamination", "filters", "finalize")
@@ -247,15 +243,9 @@ def run_document_pipeline(
         t0 = time.time()
         with cache_scope():
             surv = survivors_after("exact", "clusters", "contamination")
-            attrs = (
-                language_id(surv, text_col=tc)
-                .join(
-                    quality_score(surv, text_col=tc).select(
-                        "doc_id", "quality"
-                    ),
-                    "doc_id",
-                )
-            )
+            # one projection pass, zero joins — lang/quality are pure
+            # per-row expressions (see document_attributes)
+            attrs = document_attributes(surv, text_col=tc)
             bad = F.col("quality") < F.lit(cfg.min_quality)
             if cfg.allowed_langs:
                 bad = bad | ~F.col("lang_pred").isin(*cfg.allowed_langs)
@@ -276,22 +266,8 @@ def run_document_pipeline(
             surv = survivors_after(
                 "exact", "clusters", "contamination", "filters"
             )
-            attrs = (
-                language_id(surv, text_col=tc)
-                .join(
-                    quality_score(surv, text_col=tc).select(
-                        "doc_id", "quality"
-                    ),
-                    "doc_id",
-                )
-                .join(
-                    token_count(surv, text_col=tc).select(
-                        "doc_id", "ws_tokens"
-                    ),
-                    "doc_id",
-                )
-            )
-            clean = surv.join(attrs, "doc_id")
+            # corpus + attributes in one pass — no doc_id join at all
+            clean = document_attributes(surv, text_col=tc, include_input=True)
             # partition the clean corpus by predicted language: a
             # training-mix consumer filters by lang, and at 100 TB that
             # filter must prune at the source, not post-scan
