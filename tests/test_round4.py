@@ -363,3 +363,31 @@ def test_approx_weighted_simhash_rate1_matches_scalar_reference(spark):
         }
         release_operator_caches()
         assert got == expect
+
+
+def test_document_attributes_matches_contract_ops(spark):
+    """The one-pass attribute builder must equal the three oracle-gated
+    operators joined on doc_id — same shared expression builders, so any
+    drift is a bug."""
+    from light_curve_spark.operators.text import (
+        document_attributes,
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.createDataFrame(_pipeline_corpus().dropna(), ["doc_id", "text"])
+    joined = (
+        language_id(docs)
+        .join(quality_score(docs), "doc_id")
+        .join(token_count(docs), "doc_id")
+    )
+    one_pass = document_attributes(docs)
+    assert sorted(one_pass.columns) == sorted(joined.columns)
+    a = {r.doc_id: tuple(r[c] for c in sorted(one_pass.columns)) for r in one_pass.collect()}
+    b = {r.doc_id: tuple(r[c] for c in sorted(joined.columns)) for r in joined.collect()}
+    assert a == b
+
+    with_input = document_attributes(docs, include_input=True)
+    assert with_input.columns[:2] == ["doc_id", "text"]
+    assert set(with_input.columns) == set(joined.columns) | {"text"}
