@@ -624,6 +624,50 @@ def dedup_clusters(
     return labels
 
 
+def incremental_dedup_clusters(
+    storage,
+    new_pairs: DataFrame,
+    table: str = "cc_labels",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Fold newly-discovered near-dup pairs into PERSISTED cluster
+    labels without recomputing history — the companion to
+    :func:`incremental_minhash_pairs` for a corpus that grows forever.
+
+    The stored labels table (doc_id, keep_id) is a depth-1 forest: each
+    label IS an edge pointing straight at its cluster root. Union those
+    label edges with the new pairs and rerun star contraction — the
+    forest part re-contracts in O(1) rounds (it is already a star), so
+    the work is driven by the NEW pairs and the clusters they touch,
+    not by corpus history. Because every old root carries its
+    component's minimum id, the merged components' minima are preserved
+    and the result EQUALS one-shot :func:`dedup_clusters` over all
+    pairs ever seen (tested, including cross-batch cluster merges).
+
+    The labels table is replace-on-write: each call appends one FULL
+    snapshot; read the current state with ``storage.read_snapshot``.
+    Crash between compute and append: rerunning the same fold is
+    idempotent (labels are a pure function of old labels + new pairs)."""
+    new_edges = new_pairs.select(
+        F.col(a_col).alias("doc_a"), F.col(b_col).alias("doc_b")
+    )
+    if storage.exists(table):
+        old = storage.read_snapshot(table)
+        label_edges = old.filter(F.col("doc_id") != F.col("keep_id")).select(
+            F.col("doc_id").alias("doc_a"), F.col("keep_id").alias("doc_b")
+        )
+        combined = new_edges.unionByName(label_edges)
+    else:
+        combined = new_edges
+    labels = dedup_clusters(combined, max_iter=max_iter)
+    labels = cached(labels)
+    labels.count()  # materialize before the append consumes it
+    storage.append(labels, table)
+    return labels
+
+
 def _star_labels(
     pairs: DataFrame,
     a_col: str,

@@ -61,6 +61,11 @@ class DocPipelineConfig:
     bands: int = 4
     minhash_threshold: float = 0.5
     contamination_min_shared: int = 2
+    # df-prune for the cross-corpus gram join: ultra-common grams carry
+    # no contamination signal and quadratically inflate the join (the 2x
+    # growth run measured the stage superlinear with a fixed eval set —
+    # BENCH.md); lower this on huge corpora
+    contamination_max_df: int = 1000
     min_quality: float = 0.0
     allowed_langs: tuple[str, ...] = field(default_factory=tuple)  # empty = all
     text_col: str = "text"
@@ -218,6 +223,7 @@ def run_document_pipeline(
                 surv,
                 eval_docs,
                 n=cfg.ngram_n,
+                max_df=cfg.contamination_max_df,
                 min_shared=cfg.contamination_min_shared,
                 text_col=tc,
             )
@@ -291,6 +297,7 @@ def run_document_pipeline(
                 .agg(
                     F.count("*").alias("n_docs"),
                     F.sum("ws_tokens").alias("n_tokens"),
+                    F.sum("bpe_tokens").alias("n_bpe_tokens"),
                     F.avg("quality").alias("mean_quality"),
                 )
                 .withColumn("input_snapshot", F.lit(cfg.input_snapshot))

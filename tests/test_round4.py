@@ -391,3 +391,59 @@ def test_document_attributes_matches_contract_ops(spark):
     with_input = document_attributes(docs, include_input=True)
     assert with_input.columns[:2] == ["doc_id", "text"]
     assert set(with_input.columns) == set(joined.columns) | {"text"}
+
+
+def test_incremental_dedup_clusters_matches_one_shot(spark, tmp_path):
+    """Folding pair batches into persisted labels must equal one-shot CC
+    over all pairs ever seen — including the hard case where a new pair
+    MERGES two previously-separate clusters, and a chain built across
+    batches."""
+    from light_curve_spark.operators.dedup import (
+        dedup_clusters,
+        incremental_dedup_clusters,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    batches = [
+        # batch 1: two separate clusters {1,2,3} and {10,11}, chain start 100-101
+        [(1, 2), (2, 3), (10, 11), (100, 101)],
+        # batch 2: extend chain 101-102; new cluster {20,21}
+        [(101, 102), (20, 21)],
+        # batch 3: MERGE {1,2,3} with {10,11}; extend chain 102-103
+        [(3, 10), (102, 103)],
+    ]
+    storage = ParquetSnapshotStorage(spark, str(tmp_path / "cc"))
+    seen = []
+    for rows in batches:
+        seen += rows
+        pairs = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+        )
+        inc = {
+            r.doc_id: r.keep_id
+            for r in incremental_dedup_clusters(storage, pairs).collect()
+        }
+        all_pairs = spark.createDataFrame(
+            pd.DataFrame(seen, columns=["doc_a", "doc_b"])
+        )
+        ref = {r.doc_id: r.keep_id for r in dedup_clusters(all_pairs).collect()}
+        release_operator_caches()
+        assert inc == ref
+    # after batch 3: merged cluster rooted at 1, chain rooted at 100
+    assert inc[11] == 1 and inc[10] == 1 and inc[3] == 1
+    assert inc[103] == 100 and inc[20] == 20 and inc[21] == 20
+    # read-back is the full current state
+    st = {r.doc_id: r.keep_id
+          for r in storage.read_snapshot("cc_labels").collect()}
+    assert st == inc
+    # idempotent re-fold of the SAME batch: pure function of state+batch
+    pairs3 = spark.createDataFrame(
+        pd.DataFrame(batches[2], columns=["doc_a", "doc_b"])
+    )
+    again = {
+        r.doc_id: r.keep_id
+        for r in incremental_dedup_clusters(storage, pairs3).collect()
+    }
+    release_operator_caches()
+    assert again == inc
