@@ -39,6 +39,7 @@ def run_stream_dedup(
     bands: int = 4,
     threshold: float = 0.5,
     text_col: str = "text",
+    with_clusters: bool = False,
 ) -> None:
     """One ``availableNow`` pass: fold every not-yet-seen document file
     under ``input_dir`` into the ``{prefix}_index`` MinHash index and
@@ -46,9 +47,18 @@ def run_stream_dedup(
     content batch id) to ``{prefix}_pairs``. Returns after the trigger
     drains. The union of pairs over any arrival order equals the
     one-shot :func:`~light_curve_spark.operators.dedup.
-    minhash_lsh_pairs` on the full corpus (tested)."""
+    minhash_lsh_pairs` on the full corpus (tested).
+
+    ``with_clusters=True`` additionally folds each batch's pairs into
+    the persisted ``{prefix}_labels`` cluster table
+    (:func:`~light_curve_spark.operators.dedup.
+    incremental_dedup_clusters`) — streaming-maintained connected
+    components whose current state always equals one-shot CC over every
+    pair discovered so far; read with ``storage.read_snapshot``.
+    Re-delivery safe: the fold is a pure function of (labels, pairs)."""
     from light_curve_spark.operators.dedup import (
         _content_batch_id,
+        incremental_dedup_clusters,
         incremental_minhash_pairs,
     )
     from light_curve_spark.plans.caching import cache_scope
@@ -74,6 +84,10 @@ def run_stream_dedup(
             storage.append(
                 pairs.withColumn("batch_id", F.lit(cid)), out_table
             )
+            if with_clusters:
+                incremental_dedup_clusters(
+                    storage, pairs, table=f"{prefix}_labels"
+                )
         # scope exit releases the pairs cache incremental_minhash_pairs
         # promoted — its output is already durable in out_table
 

@@ -289,13 +289,15 @@ def test_stream_dedup_matches_one_shot(spark, tmp_path):
     docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
         in_dir + "/b1"
     )
-    run_stream_dedup(spark, in_dir + "/*", schema, storage, ckpt)
+    run_stream_dedup(spark, in_dir + "/*", schema, storage, ckpt,
+                     with_clusters=True)
     assert read_stream_pairs(storage).count() == 0  # partners not arrived yet
 
     docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
         in_dir + "/b2"
     )
-    run_stream_dedup(spark, in_dir + "/*", schema, storage, ckpt)
+    run_stream_dedup(spark, in_dir + "/*", schema, storage, ckpt,
+                     with_clusters=True)
     got = {
         (r.doc_a, r.doc_b): round(r.jaccard, 9)
         for r in read_stream_pairs(storage).collect()
@@ -317,6 +319,24 @@ def test_stream_dedup_matches_one_shot(spark, tmp_path):
         (r.doc_a, r.doc_b): round(r.jaccard, 9)
         for r in read_stream_pairs(storage).collect()
     } == one_shot
+
+    # streaming-maintained clusters == one-shot CC over one-shot pairs
+    from light_curve_spark.operators.dedup import dedup_clusters
+
+    one_shot_pairs_df = spark.createDataFrame(
+        pd.DataFrame(
+            [(a, b) for (a, b) in one_shot], columns=["doc_a", "doc_b"]
+        )
+    )
+    ref_labels = {
+        r.doc_id: r.keep_id for r in dedup_clusters(one_shot_pairs_df).collect()
+    }
+    got_labels = {
+        r.doc_id: r.keep_id
+        for r in storage.read_snapshot("mh_labels").collect()
+    }
+    release_operator_caches()
+    assert got_labels == ref_labels and got_labels
 
 
 def test_approx_weighted_simhash_rate1_matches_scalar_reference(spark):
