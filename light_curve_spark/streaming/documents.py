@@ -111,3 +111,192 @@ def read_stream_pairs(storage, prefix: str = "mh") -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .distinct()
     )
+
+
+def run_stream_document_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema,
+    storage,
+    checkpoint_dir: str,
+    eval_docs: DataFrame | None = None,
+    prefix: str = "dpx",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    contamination_min_shared: int = 2,
+    contamination_max_df: int = 1000,
+    text_col: str = "text",
+) -> None:
+    """The STREAM-FED document pipeline: every arriving batch of
+    documents folds into persistent corpus state —
+
+    - ``{prefix}_attrs``  (append): per-doc text attributes + content
+      digest, computed ONCE at arrival (one projection pass);
+    - ``{prefix}_index`` / ``{prefix}_pairs``: incremental MinHash
+      (signatures mined once, idempotent batch ids);
+    - ``{prefix}_labels`` (replace-on-write): connected components over
+      exact-digest pairs AND near-dup pairs, maintained incrementally —
+      exact duplicates are just edges with Jaccard 1 semantics, so one
+      label forest carries both dedup stages;
+    - ``{prefix}_contam`` (append): train docs sharing >= min_shared
+      n-grams with the eval corpus (batch x eval only — contamination
+      is naturally incremental).
+
+    Retroactive revocation falls out of the design: keep/drop is NOT
+    decided at arrival — :func:`read_document_status` derives it from
+    the CURRENT label forest, so a doc kept for months becomes a loser
+    the moment its lower-id duplicate arrives (or vice versa), exactly
+    as a batch rerun over the full corpus would decide. The batch
+    pipeline's final kept set is reproduced (tested); only the per-stage
+    attribution differs (exact-vs-cluster drops merge into 'dup').
+    """
+    from light_curve_spark.operators.dedup import (
+        _content_batch_id,
+        _norm_text,
+        cross_ngram_contamination,
+        incremental_dedup_clusters,
+        incremental_minhash_pairs,
+    )
+    from light_curve_spark.operators.text import document_attributes
+    from light_curve_spark.plans.caching import cache_scope
+
+    def fold(batch_df: DataFrame, _batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with cache_scope():
+            cid = _content_batch_id(batch_df, text_col)
+            batch_df = batch_df.persist()
+
+            # 1. attributes + digest, one pass, once per doc ever
+            attrs = document_attributes(batch_df, text_col=text_col).join(
+                batch_df.select(
+                    "doc_id", F.md5(_norm_text(text_col)).alias("digest")
+                ),
+                "doc_id",
+            ).withColumn("batch_id", F.lit(cid))
+            already = (
+                storage.exists(f"{prefix}_attrs")
+                and storage.read(f"{prefix}_attrs")
+                .filter(F.col("batch_id") == cid)
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not already:
+                storage.append(attrs, f"{prefix}_attrs")
+
+            # 2. exact-digest pairs: batch vs stored corpus + within batch
+            stored = storage.read(f"{prefix}_attrs").filter(
+                F.col("batch_id") != cid
+            ).select("doc_id", "digest")
+            bd = attrs.select("doc_id", "digest")
+            cross = (
+                stored.alias("o")
+                .join(bd.alias("n"), "digest")
+                .select(
+                    F.least(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+                )
+                .filter(F.col("doc_a") != F.col("doc_b"))
+            )
+            within = (
+                bd.alias("a")
+                .join(bd.alias("b"), "digest")
+                .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+            )
+            exact_pairs = cross.unionByName(within).distinct()
+
+            # 3. near-dup pairs vs the persisted MinHash index
+            mh_pairs = incremental_minhash_pairs(
+                storage, batch_df, prefix=prefix, n=n,
+                num_hashes=num_hashes, bands=bands, threshold=threshold,
+                text_col=text_col, batch_id=cid,
+            )
+
+            # 4. one label forest for BOTH dedup kinds
+            new_edges = exact_pairs.unionByName(
+                mh_pairs.select("doc_a", "doc_b")
+            )
+            incremental_dedup_clusters(
+                storage, new_edges, table=f"{prefix}_labels"
+            )
+
+            # 5. contamination: batch x eval only
+            if eval_docs is not None:
+                hits = cross_ngram_contamination(
+                    batch_df, eval_docs, n=n,
+                    max_df=contamination_max_df,
+                    min_shared=contamination_min_shared, text_col=text_col,
+                )
+                storage.append(
+                    hits.select(
+                        F.col("train_id").alias("doc_id")
+                    ).distinct().withColumn("batch_id", F.lit(cid)),
+                    f"{prefix}_contam",
+                )
+            batch_df.unpersist()
+
+    q = (
+        spark.readStream.schema(input_schema)
+        .parquet(input_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fold)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_document_status(
+    storage,
+    prefix: str = "dpx",
+    min_quality: float = 0.0,
+    allowed_langs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Current per-doc status derived from the live corpus state:
+    (doc_id, lang_pred, quality, ws_tokens, drop_stage) with drop_stage
+    in {'dup', 'contamination', 'filters', NULL=kept}. Quality/language
+    thresholds are READ-time policy — reruns with different thresholds
+    need no recompute, and retroactive dedup revocation is automatic
+    (the label forest is always current)."""
+    attrs = (
+        storage.read(f"{prefix}_attrs")
+        .select("doc_id", "lang_pred", "quality", "ws_tokens")
+        .distinct()
+    )
+    losers = (
+        storage.read_snapshot(f"{prefix}_labels")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.lit("dup").alias("_dup"))
+        if storage.exists(f"{prefix}_labels")
+        else None
+    )
+    contam = (
+        storage.read(f"{prefix}_contam").select("doc_id").distinct()
+        .withColumn("_contam", F.lit("contamination"))
+        if storage.exists(f"{prefix}_contam")
+        else None
+    )
+    out = attrs
+    out = out.join(losers, "doc_id", "left") if losers is not None else \
+        out.withColumn("_dup", F.lit(None).cast("string"))
+    out = out.join(contam, "doc_id", "left") if contam is not None else \
+        out.withColumn("_contam", F.lit(None).cast("string"))
+    bad = F.col("quality") < F.lit(min_quality)
+    if allowed_langs:
+        bad = bad | ~F.col("lang_pred").isin(*allowed_langs)
+    stage = F.coalesce(
+        F.col("_dup"),
+        F.col("_contam"),
+        F.when(bad, F.lit("filters")),
+    )
+    return out.select(
+        "doc_id", "lang_pred", "quality", "ws_tokens",
+        stage.alias("drop_stage"),
+    )

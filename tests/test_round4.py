@@ -467,3 +467,88 @@ def test_incremental_dedup_clusters_matches_one_shot(spark, tmp_path):
     }
     release_operator_caches()
     assert again == inc
+
+
+def test_stream_document_pipeline_matches_batch_kept_set(spark, tmp_path):
+    """The stream-fed pipeline over 3 arrival batches must reproduce the
+    batch pipeline's final KEPT set on the same corpus — including
+    retroactive revocation (a doc's duplicate arriving in a LATER batch
+    revokes it), with read-time filter policy."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from light_curve_spark.plans.doc_pipeline import (
+        DocPipelineConfig,
+        run_document_pipeline,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.documents import (
+        read_document_status,
+        run_stream_document_pipeline,
+    )
+
+    docs = spark.createDataFrame(_pipeline_corpus()).filter(
+        F.col("text").isNotNull()  # stream schema parity; null text is
+    )                              # covered by the kernel tests
+    ev = spark.createDataFrame(_eval_corpus())
+
+    # batch reference
+    cfg = DocPipelineConfig(
+        out_root=str(tmp_path / "batch"),
+        input_snapshot="v1",
+        min_quality=0.05,
+        contamination_min_shared=2,
+    )
+    run_document_pipeline(spark, docs, cfg, eval_docs=ev)
+    st_b = ParquetSnapshotStorage(spark, cfg.out_root)
+    batch_kept = {
+        r.doc_id
+        for r in st_b.read("dp_doc_status").filter(
+            F.col("drop_stage").isNull()
+        ).collect()
+    }
+    release_operator_caches()
+
+    # streamed arrival: 3 batches, duplicate partners split so later
+    # arrivals revoke earlier keeps
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "sckpt")
+    storage = ParquetSnapshotStorage(spark, str(tmp_path / "stream"))
+    splits = [
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1) for k in (0, 1, 2)
+    ]
+    for i, part in enumerate(splits):
+        part.write.parquet(f"{in_dir}/b{i}")
+        run_stream_document_pipeline(
+            spark, in_dir + "/*", schema, storage, ckpt, eval_docs=ev
+        )
+        release_operator_caches()
+        if i == 0:
+            # doc 100 (exact dup of doc 0) arrives in a later batch than
+            # doc 0? ids 0 and 100 land in different %3 classes (0 vs 1),
+            # so after batch 0 doc 0 is still KEPT — revoked later only
+            # if it loses; here 0 < 100 so 100 will drop on arrival.
+            status0 = {
+                r.doc_id: r.drop_stage
+                for r in read_document_status(
+                    storage, min_quality=0.05
+                ).collect()
+            }
+            assert status0.get(0) is None
+
+    status = {
+        r.doc_id: r.drop_stage
+        for r in read_document_status(storage, min_quality=0.05).collect()
+    }
+    release_operator_caches()
+    stream_kept = {d for d, s in status.items() if s is None}
+    assert stream_kept == batch_kept
+    # attribution: dup collapses exact+clusters; others match by name
+    assert status[100] == "dup" and status[111] == "dup"
+    assert status[120] == "contamination" and status[130] == "filters"
