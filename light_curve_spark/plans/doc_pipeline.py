@@ -279,7 +279,11 @@ def run_document_pipeline(
             # filter must prune at the source, not post-scan
             storage.append(clean, "dp_clean", partition_by=["lang_pred"])
 
-            all_losers = storage.read("dp_losers")
+            # .distinct(): a crash between a stage's append and its
+            # checkpoint record re-appends identical loser rows on the
+            # rerun; without it this left join would emit duplicate
+            # status rows and break the one-row-per-document contract
+            all_losers = storage.read("dp_losers").distinct()
             status = docs.select("doc_id").join(
                 all_losers.select(
                     "doc_id",

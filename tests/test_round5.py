@@ -1,0 +1,190 @@
+"""Round-5 hardening: eval-footprint-bounded contamination, batch-id
+cancellation fix, crash-rerun loser dedup in the doc-status lineage,
+rate-1.0 vocabulary exactness for the sampled-df SimHash, and the
+checkpoint-attribution lock."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _two_corpora(spark):
+    """Train corpus with hot shared grams + planted eval overlap; a
+    small eval set whose grams also ride the hot vocabulary (so max_df
+    pruning has something to prune on both sides)."""
+    rows = []
+    hot = " ".join(f"the{j}" for j in range(8))
+    for i in range(80):
+        rows.append((i, f"{hot} tr{i}_a tr{i}_b tr{i}_c {hot}"))
+    # contaminated: carries eval doc 9001's distinctive shingles
+    rows.append((500, "evq0 evq1 evq2 evq3 evq4 evq5 " + hot))
+    rows.append((501, "evq2 evq3 evq4 evq5 evq6 other words here"))
+    train = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).repartition(4)
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (9001, "evq0 evq1 evq2 evq3 evq4 evq5 evq6 evq7"),
+                (9002, f"{hot} nothing shared beyond the hot words"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    return train, ev
+
+
+def test_contamination_pruned_equals_unpruned(spark):
+    """prune_to_eval must be a pure plan change: corpus grams absent
+    from the eval set produce no join rows, and eval-present grams keep
+    every corpus instance through the semi-join, so union df — and the
+    max_df pruning fate — is unchanged.  Exercised with a max_df low
+    enough that the hot vocabulary actually gets pruned."""
+    from light_curve_spark.operators.dedup import cross_ngram_contamination
+
+    train, ev = _two_corpora(spark)
+    kw = dict(n=2, max_df=10, min_shared=2)
+    pruned = {
+        (r.eval_id, r.train_id, r.n_shared)
+        for r in cross_ngram_contamination(
+            train, ev, prune_to_eval=True, **kw
+        ).collect()
+    }
+    full = {
+        (r.eval_id, r.train_id, r.n_shared)
+        for r in cross_ngram_contamination(
+            train, ev, prune_to_eval=False, **kw
+        ).collect()
+    }
+    assert pruned == full
+    assert len(pruned) > 0  # the planted contamination was found
+    hit_train_ids = {t for (_, t, _) in pruned}
+    assert 500 in hit_train_ids
+
+
+def test_contamination_pruned_plan_broadcasts_eval_grams(spark):
+    """The semi-join against the eval gram set must be a BROADCAST join
+    (map-side filter before any corpus-gram shuffle) — a shuffled
+    semi-join would move every corpus gram, the exact cost the prune
+    removes."""
+    from light_curve_spark.operators.dedup import cross_ngram_contamination
+
+    train, ev = _two_corpora(spark)
+    plan = cross_ngram_contamination(
+        train, ev, n=2, max_df=10, min_shared=2, prune_to_eval=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_content_batch_id_sum_does_not_cancel(spark):
+    """xor cancelled even multiplicities: {A,A,B} and {B,C,C} collided
+    (same count, same xor), silently skipping the second batch's index
+    fold.  The sum-based id must tell them apart — and stay invariant
+    under row order and partitioning."""
+    from light_curve_spark.operators.dedup import _content_batch_id
+
+    a, b, c = "alpha text", "beta text", "gamma text"
+    batch1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 1, 2], "text": [a, a, b]})
+    )
+    batch2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 3, 3], "text": [b, c, c]})
+    )
+    id1 = _content_batch_id(batch1, "text")
+    id2 = _content_batch_id(batch2, "text")
+    assert id1 != id2
+
+    # partitioning/order-insensitive: same rows, any layout, same id
+    assert _content_batch_id(batch1.repartition(7), "text") == id1
+    assert (
+        _content_batch_id(batch1.orderBy(F.desc("doc_id")), "text") == id1
+    )
+    # and a genuinely identical batch IS detected as identical
+    assert (
+        _content_batch_id(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [2, 1, 1], "text": [b, a, a]})
+            ),
+            "text",
+        )
+        == id1
+    )
+
+
+def test_incremental_index_refold_after_xor_collision_shape(spark, tmp_path):
+    """End-to-end: fold {A,A,B} then {B,C,C} — under the xor id the
+    second batch was classified already-folded and docs 3.. never
+    entered the index.  Now both batches must land."""
+    from light_curve_spark.operators.dedup import incremental_minhash_pairs
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "xid"))
+    a, b, c = "alpha text one", "beta text two", "gamma text three"
+    batch1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 11, 2], "text": [a, a, b]})
+    )
+    batch2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 3, 33], "text": [b, c, c]})
+    )
+    incremental_minhash_pairs(st, batch1, prefix="x", n=2)
+    incremental_minhash_pairs(st, batch2, prefix="x", n=2)
+    indexed = {r.doc_id for r in st.read("x_index").select("doc_id").collect()}
+    assert {3, 33} <= indexed, "second batch must not be misclassified as folded"
+
+
+def test_doc_status_one_row_per_doc_after_crash_rerun(spark, tmp_path, monkeypatch):
+    """Crash between a stage's loser append and its checkpoint record:
+    the rerun re-appends identical loser rows.  dp_doc_status must still
+    hold exactly one row per input document (round-4 ADVICE)."""
+    import light_curve_spark.plans.doc_pipeline as dp
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from tests.test_round4 import _run_doc_pipeline
+
+    docs, ev, cfg = _run_doc_pipeline(spark, tmp_path, "dp5")
+
+    real_save = dp._save_ckpt
+    state = {"fired": False}
+
+    def crash_once(cfg_, st_):
+        if not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("simulated crash after append, before ckpt")
+        return real_save(cfg_, st_)
+
+    monkeypatch.setattr(dp, "_save_ckpt", crash_once)
+    with pytest.raises(RuntimeError, match="simulated"):
+        dp.run_document_pipeline(spark, docs, cfg, eval_docs=ev)
+    monkeypatch.setattr(dp, "_save_ckpt", real_save)
+    dp.run_document_pipeline(spark, docs, cfg, eval_docs=ev)
+
+    st = ParquetSnapshotStorage(spark, cfg.out_root)
+    # the exact stage really did double-append its loser rows...
+    losers = st.read("dp_losers").filter(F.col("stage") == "exact")
+    assert losers.count() > losers.distinct().count()
+    # ...and the lineage contract still holds
+    status = st.read("dp_doc_status")
+    n_docs = docs.count()
+    assert status.count() == n_docs
+    assert status.select("doc_id").distinct().count() == n_docs
+
+
+def test_approx_simhash_rate1_exact_even_with_tiny_max_vocab(spark):
+    """At sample_rate=1.0 the bit-parity claim must not depend on the
+    vocabulary fitting max_vocab: the truncation is skipped, so even
+    max_vocab=5 on a corpus with hundreds of words stays bit-identical
+    to the exact kernel (round-4 ADVICE)."""
+    from light_curve_spark.operators.dedup import (
+        simhash_weighted_approx_kernel,
+        simhash_weighted_kernel,
+    )
+    from tests.test_round4 import _zipf_corpus
+
+    docs = spark.createDataFrame(_zipf_corpus(40)).repartition(4)
+    exact = {r.doc_id: r.sh for r in simhash_weighted_kernel(docs).collect()}
+    approx = {
+        r.doc_id: r.sh
+        for r in simhash_weighted_approx_kernel(
+            docs, sample_rate=1.0, max_vocab=5
+        ).collect()
+    }
+    assert approx == exact
