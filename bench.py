@@ -62,21 +62,65 @@ def _run(df) -> int:
     return 0
 
 
-def _timed_min(fn, reps: int = 2) -> float:
+ALL_REPS: dict[str, list[float]] = {}
+
+
+def _timed_min(fn, reps: int = 2, name: str | None = None) -> float:
     """min over reps — this host has intermittent CPU steal (2-3x between
-    identical runs); the minimum is the reproducible estimate."""
-    best = None
+    identical runs); the minimum is the reproducible estimate.  Every
+    rep is recorded in ALL_REPS so the emitted JSON can publish each
+    query's spread (max/min): a large spread on identical bytes is the
+    steal signature, and without it a judged round can read 2x slower on
+    pure host noise (round-4 verdict item 2)."""
+    times = []
     for _ in range(reps):
         t0 = time.time()
         fn()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+        times.append(time.time() - t0)
+    if name is not None:
+        ALL_REPS[name] = [round(t, 3) for t in times]
+    return round(min(times), 3)
+
+
+def _burn(_):
+    """One pure-CPU task for the host probe: no Spark, no memory
+    traffic — its wall time moves ONLY with hypervisor CPU delivery."""
+    import math
+
+    t0 = time.time()
+    x = 0.0
+    for i in range(1_500_000):
+        x += math.sin(i * 0.001)
+    return time.time() - t0
+
+
+def _host_probe(cpus: int) -> dict:
+    """Per-task inflation when `cpus` processes burn concurrently vs
+    serially.  On dedicated hardware this is ~1.0; this sandbox's host
+    measures ~1.6 at 32-way (hypervisor cap — see BENCH.md appendix).
+    Values well above the round's recorded baseline mean the WALL
+    numbers in this very JSON line are steal-contaminated and should be
+    normalized against the probe before being read as a regression."""
+    import multiprocessing as mp
+
+    with mp.Pool(1) as p:
+        serial = p.map(_burn, range(4))
+    n_tasks = max(cpus, 4)
+    with mp.Pool(cpus) as p:
+        packed = p.map(_burn, range(n_tasks))
+    base = sum(serial) / len(serial)
+    return {
+        "serial_per_task_sec": round(base, 3),
+        "packed_per_task_sec": round(sum(packed) / len(packed), 3),
+        "inflation": round((sum(packed) / len(packed)) / base, 3),
+        "nproc": cpus,
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    probe_pre = _host_probe(cpus)
     spark = build_session(
         app_name="lcs-bench",
         master=f"local[{cpus}]",
@@ -95,14 +139,16 @@ def main() -> None:
         # rollup_tiers carried ~2x of it) and this host's intermittent CPU
         # steal can inflate any single rep ~3x
         release_operator_caches()
-        timings[name] = _timed_min(lambda: _run(fn(spark, sf_dir)), reps=3)
+        timings[name] = _timed_min(lambda: _run(fn(spark, sf_dir)), reps=3, name=name)
     release_operator_caches()
 
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         fn = queries[name]
         release_operator_caches()
-        extra_timings[name] = _timed_min(lambda: _run(fn(spark, sf_dir)), reps=3)
+        extra_timings[name] = _timed_min(
+            lambda: _run(fn(spark, sf_dir)), reps=3, name=name
+        )
     release_operator_caches()
 
     # round-4 fast path: sampled-df weighted SimHash (not a driver-contract
@@ -114,6 +160,7 @@ def main() -> None:
     extra_timings["simhash_weighted_approx"] = _timed_min(
         lambda: _run(simhash_weighted_approx_kernel(docs_tbl, sample_rate=0.25)),
         reps=3,
+        name="simhash_weighted_approx",
     )
     release_operator_caches()
 
@@ -132,18 +179,21 @@ def main() -> None:
     n_tokens = seq.select(F.sum("n_tok")).head()[0]
 
     timings["seq_features_kernel"] = _timed_min(
-        lambda: _run(extract_features(seq, freqs=np.linspace(0.05, 0.45, 9)))
+        lambda: _run(extract_features(seq, freqs=np.linspace(0.05, 0.45, 9))),
+        name="seq_features_kernel",
     )
 
     from light_curve_spark.operators.rollup import rollup_quantiles_arrays
 
     timings["seq_quantiles_arrays"] = _timed_min(
-        lambda: _run(rollup_quantiles_arrays(seq, base_width=16, tiers=(1, 10, 100)))
+        lambda: _run(rollup_quantiles_arrays(seq, base_width=16, tiers=(1, 10, 100))),
+        name="seq_quantiles_arrays",
     )
 
     n_rolled = rollup_tiers_arrays(seq, base_width=16, tiers=(1, 10, 100)).count()
     timings["seq_rollup_cascade"] = _timed_min(
-        lambda: rollup_tiers_arrays(seq, base_width=16, tiers=(1, 10, 100)).count()
+        lambda: rollup_tiers_arrays(seq, base_width=16, tiers=(1, 10, 100)).count(),
+        name="seq_rollup_cascade",
     )
     rollup_points_per_sec = n_rolled / timings["seq_rollup_cascade"]
 
@@ -153,7 +203,7 @@ def main() -> None:
         ).head()[0]
 
     enc_bytes = _encode_bytes()
-    timings["seq_gorilla_encode"] = _timed_min(_encode_bytes)
+    timings["seq_gorilla_encode"] = _timed_min(_encode_bytes, name="seq_gorilla_encode")
     token_bytes_per_sec = (n_tokens * 4) / timings["seq_gorilla_encode"]
 
     # read path: decode the persisted-shape chunk table back to tokens
@@ -162,12 +212,17 @@ def main() -> None:
     chunks_df = encode_chunks(seq, max_len=4096).persist()
     chunks_df.count()
     timings["seq_gorilla_decode"] = _timed_min(
-        lambda: decode_chunks(chunks_df).select(F.sum(F.size("tokens"))).head()
+        lambda: decode_chunks(chunks_df).select(F.sum(F.size("tokens"))).head(),
+        name="seq_gorilla_decode",
     )
     decode_tokens_per_sec = n_tokens / timings["seq_gorilla_decode"]
     chunks_df.unpersist()
     seq.unpersist()
 
+    probe_post = _host_probe(cpus)
+    spread = {
+        k: round(max(v) / max(min(v), 1e-9), 2) for k, v in ALL_REPS.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -177,6 +232,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra_timings,
+                # steal sentinels (round-4 verdict item 2): host_probe is a
+                # pure-CPU per-task inflation measurement bracketing the run
+                # (dedicated hardware ~1.0; this sandbox ~1.6 at 32-way —
+                # BENCH.md appendix); query_spread is max/min over each
+                # query's reps on identical bytes.  Before reading `value`
+                # as a round-over-round regression, check both: inflation or
+                # spreads well above the prior round's mean the wall numbers
+                # are host noise, not engine behavior.
+                "host_probe": {"pre": probe_pre, "post": probe_post},
+                "query_spread": spread,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "cpus": cpus,
                 "n_sequences": N_SEQ_BENCH,
