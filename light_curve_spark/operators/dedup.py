@@ -92,12 +92,57 @@ def word_ngrams(text_col: str = "text", n: int = 3) -> F.Column:
     )
 
 
+def token_ngrams(tokens_col: str = "tokens", n: int = 3) -> F.Column:
+    """Distinct n-gram hashes (int64 array) over a PRE-TOKENIZED
+    ``array<int>`` column — the tokens-native twin of
+    :func:`word_ngrams` + per-gram xxhash64 (round-4 verdict item 6).
+
+    A 100 TB pre-tokenized corpus (the input_hint shape: ``tokens:
+    array<int32>``) should never have to materialize text to be
+    deduplicated. Each window's identity is a rolling xxhash64 chain
+    over its n token ids: ``h_0 = xxhash64(t_0)``, ``h_i = xxhash64(
+    h_{i-1}, t_i)`` — built from the same zip_with-over-shifted-views
+    composition as :func:`word_ngrams` (per-element slicing of the
+    enclosing array is the interpreted slow path; shifted pre-slices
+    stay cheap), with every token cast to long so the hash widths are
+    deterministic and the scalar oracle (scripts/oracle_impl.py
+    ``token_ngrams_ref``) reproduces them exactly.
+
+    The result plugs into the same explode -> band/bucket -> equi-join
+    machinery as the text grams: downstream never knows which gram
+    source produced the int64 keys."""
+    toks = F.transform(F.col(tokens_col), lambda t: t.cast("long"))
+    k = F.size(toks) - F.lit(n - 1)
+    shifted = [F.slice(toks, i + 1, k) for i in range(n)]
+    grams = F.transform(shifted[0], lambda t: F.xxhash64(t))
+    for part in shifted[1:]:
+        grams = F.zip_with(grams, part, lambda a, b: F.xxhash64(a, b))
+    return F.when(k < 1, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def _gram_hash_array(
+    n: int, text_col: str, tokens_col: str | None
+) -> F.Column:
+    """The distinct int64 gram-hash array for either gram source: word
+    n-grams over normalized text (default) or token-id n-grams over a
+    pre-tokenized column (``tokens_col`` set). Everything downstream of
+    this expression is gram-source-agnostic."""
+    if tokens_col is not None:
+        return token_ngrams(tokens_col, n)
+    return F.array_distinct(
+        F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
     max_df: int = 1000,
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard).
 
@@ -107,12 +152,16 @@ def ngram_jaccard_pairs(
     (xxhash64) BEFORE the explode: the df-aggregate and the self-join
     then shuffle 8-byte keys instead of ~n-word strings (~3x less
     shuffle traffic; identical Jaccard up to a ~|grams|^2/2^64 collision
-    probability — the same equivalence minhash verification uses)."""
+    probability — the same equivalence minhash verification uses).
+
+    ``tokens_col``: compute grams from a pre-tokenized ``array<int>``
+    column instead of text (:func:`token_ngrams`) — identical plan, and
+    when tokenization is injective the PAIRS AND JACCARD VALUES equal
+    the text path's exactly (pytest-asserted): an injective map carries
+    gram sets 1:1, so every intersection/union size is preserved."""
     grams = ensure_min_splits(docs).select(
         "doc_id",
-        F.explode(
-            F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
-        ).alias("gram"),
+        F.explode(_gram_hash_array(n, text_col, tokens_col)).alias("gram"),
     )
     # prune via LEFT ANTI join against the HIGH-df grams — a set bounded
     # by total_gram_instances / max_df (pigeonhole), i.e. orders of
@@ -239,8 +288,14 @@ def _minhash_signature(gram_hashes: F.Column, num_hashes: int, seed: int = 42) -
     runtime). Multiplicative permutation hashing would be cheaper still,
     but Spark 4's ANSI mode forbids the required modular overflow."""
     def perm(j: int):
-        # factory, not default args: Spark introspects lambda arity
-        return lambda h: F.xxhash64(h, F.lit(seed + j))
+        # factory, not default args: Spark introspects lambda arity.
+        # The salt is cast to LONG: F.lit(int) would be IntegerType, and
+        # Spark's xxhash64 hashes int32 through a different 4-byte path
+        # than int64 — the scalar oracle models the hash family as
+        # uniform int64 folds, and an int-typed salt silently diverges
+        # from it (caught by the round-5 tokens-path fixture; the text
+        # fixtures had agreed by coincidence of candidate overlap).
+        return lambda h: F.xxhash64(h, F.lit(seed + j).cast("long"))
 
     return F.array(
         *[F.array_min(F.transform(gram_hashes, perm(j))) for j in range(num_hashes)]
@@ -253,20 +308,21 @@ def _minhash_sig_and_bands(
     num_hashes: int,
     bands: int,
     text_col: str,
+    tokens_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash front half: (cached (doc_id, grams, sig) table,
     (doc_id, band_id, band_hash) banding). One gram-hash pass; the
-    banding moves only (doc_id, band) keys, never document content."""
+    banding moves only (doc_id, band) keys, never document content.
+    ``tokens_col`` swaps the gram source to token-id n-grams
+    (:func:`token_ngrams`); everything downstream is identical."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    # hash every gram string exactly once; everything downstream
+    # hash every gram exactly once; everything downstream
     # (signatures, banding, verification) runs on int64
     with_sig = ensure_min_splits(docs).select(
         "doc_id",
-        F.array_distinct(
-            F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
-        ).alias("grams"),
+        _gram_hash_array(n, text_col, tokens_col).alias("grams"),
     ).filter(F.size("grams") > 0)
     with_sig = with_sig.withColumn(
         "sig", _minhash_signature(F.col("grams"), num_hashes)
@@ -323,14 +379,23 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verified.
 
     bands * rows_per_band == num_hashes; a pair collides if any band's
     sub-signature matches exactly. Returns (doc_a, doc_b, jaccard) for
-    verified candidates."""
+    verified candidates. ``tokens_col``: dedup a pre-tokenized corpus
+    directly on token-id n-grams (:func:`token_ngrams`) — no text
+    materialization; fixture-oracle-gated against an independent scalar
+    reference (scripts/oracle_impl.py minhash_lsh_tokens_ref)."""
     with_sig, banded = _minhash_sig_and_bands(
-        docs, n=n, num_hashes=num_hashes, bands=bands, text_col=text_col
+        docs,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        text_col=text_col,
+        tokens_col=tokens_col,
     )
 
     a = banded.alias("a")

@@ -137,6 +137,24 @@ def word_ngrams(text: str, n: int = 3) -> list[str]:
     return list(seen)
 
 
+def token_ngrams_ref(tokens: list[int], n: int = 3) -> set:
+    """Token-id n-gram hashes — operators/dedup.token_ngrams spec: the
+    rolling chain h_0 = xxhash64(t_0), h_i = xxhash64(h_{i-1}, t_i)
+    over every length-n window, distinct."""
+    if len(tokens) < n:
+        return set()
+    out = set()
+    for i in range(len(tokens) - n + 1):
+        h = spark_xxhash64_longs([tokens[i]])
+        for t in tokens[i + 1 : i + n]:
+            # F.xxhash64(a, b) folds BOTH args from the static seed 42:
+            # xxh(b, xxh(a, 42)) — the running hash is the first ARG,
+            # never the seed
+            h = spark_xxhash64_longs([h, t])
+        out.add(h)
+    return out
+
+
 def minhash_lsh_pairs_ref(
     docs: list[tuple[int, str]],
     n: int = 3,
@@ -147,19 +165,54 @@ def minhash_lsh_pairs_ref(
 ) -> list[tuple[int, int, float]]:
     """Reference MinHash+LSH: same hash-family spec as
     operators/dedup.minhash_lsh_pairs, naive loops throughout."""
-    rows_per_band = num_hashes // bands
-    gram_sets: dict[int, set[int]] = {}
-    sigs: dict[int, list[int]] = {}
+    gram_sets = {}
     for doc_id, text in docs:
         grams = {spark_xxhash64_str(g) for g in word_ngrams(text, n)}
-        if not grams:
-            continue
-        gram_sets[doc_id] = grams
+        if grams:
+            gram_sets[doc_id] = grams
+    return minhash_from_gram_sets_ref(
+        gram_sets, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, seed=seed,
+    )
+
+
+def minhash_lsh_tokens_ref(
+    docs: list[tuple[str, list[int]]],
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> list:
+    """Tokens-native MinHash+LSH — operators/dedup.minhash_lsh_pairs
+    with tokens_col set: identical machinery, token-chain grams."""
+    gram_sets = {}
+    for doc_id, tokens in docs:
+        grams = token_ngrams_ref(tokens, n)
+        if grams:
+            gram_sets[doc_id] = grams
+    return minhash_from_gram_sets_ref(
+        gram_sets, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, seed=seed,
+    )
+
+
+def minhash_from_gram_sets_ref(
+    gram_sets: dict,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> list:
+    """Gram-source-agnostic back half of the MinHash+LSH reference."""
+    rows_per_band = num_hashes // bands
+    sigs: dict = {}
+    for doc_id, grams in gram_sets.items():
         sigs[doc_id] = [
             min(spark_xxhash64_longs([g, seed + j]) for g in grams)
             for j in range(num_hashes)
         ]
-    buckets: dict[tuple[int, int], list[int]] = {}
+    buckets: dict = {}
     for doc_id, sig in sigs.items():
         for b in range(bands):
             band_hash = spark_xxhash64_longs(

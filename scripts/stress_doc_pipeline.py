@@ -102,7 +102,7 @@ def main() -> None:
 
     t3 = time.time()
     noop = run_document_pipeline(spark, docs, cfg, eval_docs=eval_docs)
-    assert noop["stages_run"] == 0 and noop["stages_skipped"] == 6, noop
+    assert noop["stages_run"] == 0 and noop["stages_skipped"] == 7, noop
     noop_s = time.time() - t3
 
     st = ParquetSnapshotStorage(spark, cfg.out_root)

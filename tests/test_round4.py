@@ -199,7 +199,7 @@ def test_document_pipeline_resumes_mid_run(spark, tmp_path, monkeypatch):
     assert status == ref_status
     # a third run is a full no-op
     stats3 = dp.run_document_pipeline(spark, docs, cfg, eval_docs=ev)
-    assert stats3["stages_run"] == 0 and stats3["stages_skipped"] == 6
+    assert stats3["stages_run"] == 0 and stats3["stages_skipped"] == 7
 
 
 def test_ivf_partitioned_layout_prunes_at_source(spark, tmp_path):

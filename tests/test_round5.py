@@ -188,3 +188,193 @@ def test_approx_simhash_rate1_exact_even_with_tiny_max_vocab(spark):
         ).collect()
     }
     assert approx == exact
+
+
+# ---------------------------------------------------------------------------
+# tokens-native dedup (round-4 verdict item 6)
+# ---------------------------------------------------------------------------
+
+def _token_corpus():
+    """Deterministic pre-tokenized corpus with planted near-dup
+    structure: shared hot prefix, per-doc rare tails, and exact
+    one-token-substitution partners; plus short/empty edge docs."""
+    rows = []
+    hot = [7, 13, 42, 99, 7, 13]
+    for i in range(40):
+        tail = [1000 + 17 * i + j for j in range(8)]
+        rows.append((2 * i, hot + tail + hot))
+        if i % 3 == 0:  # near-dup partner: one substituted token
+            near = list(hot + tail + hot)
+            near[8] = 9999
+            rows.append((2 * i + 1, near))
+        else:
+            rows.append((2 * i + 1, hot + [5000 + i, 6000 + i, 7000 + i] + hot))
+    rows.append((900, [3, 5]))   # shorter than n: no grams
+    rows.append((901, []))       # empty
+    return rows
+
+
+def test_minhash_lsh_tokens_matches_scalar_ref(spark):
+    """minhash_lsh_pairs(tokens_col=...) vs the independent scalar
+    reference (scripts/oracle_impl.minhash_lsh_tokens_ref): identical
+    pair sets and jaccard values on a planted near-dup token corpus."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from oracle_impl import minhash_lsh_tokens_ref
+
+    from light_curve_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = _token_corpus()
+    docs = spark.createDataFrame(
+        rows, "doc_id int, tokens array<int>"
+    ).repartition(4)
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(
+            docs, n=3, num_hashes=16, bands=4, threshold=0.5,
+            tokens_col="tokens",
+        ).collect()
+    }
+    want = {
+        (a, b): round(j, 9)
+        for a, b, j in minhash_lsh_tokens_ref(
+            rows, n=3, num_hashes=16, bands=4, threshold=0.5
+        )
+    }
+    assert got == want
+    assert len(got) > 0  # the planted near-dups were found
+
+
+def test_token_and_text_grams_agree_when_tokenization_injective(spark):
+    """With an injective token->word map, gram sets map 1:1, so the
+    EXACT n-gram Jaccard pairs — and the jaccard values themselves —
+    must be identical between the text path and the tokens path."""
+    from light_curve_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = _token_corpus()
+    both = [
+        (doc_id, toks, " ".join(f"w{t}" for t in toks)) for doc_id, toks in rows
+    ]
+    docs = spark.createDataFrame(
+        both, "doc_id int, tokens array<int>, text string"
+    ).repartition(4)
+    kw = dict(n=3, threshold=0.5, max_df=1000)
+    via_text = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, **kw).collect()
+    }
+    via_tokens = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, tokens_col="tokens", **kw).collect()
+    }
+    assert via_text == via_tokens
+    assert len(via_tokens) > 0
+
+
+def test_token_ngrams_edge_cases(spark):
+    """Short (< n) and empty token arrays yield empty gram arrays, and
+    repeated windows dedup."""
+    from light_curve_spark.operators.dedup import token_ngrams
+
+    df = spark.createDataFrame(
+        [(1, [5, 7, 9, 5, 7, 9]), (2, [3, 4]), (3, [])],
+        "doc_id int, tokens array<int>",
+    )
+    out = {
+        r.doc_id: list(r.g)
+        for r in df.select(
+            "doc_id", token_ngrams("tokens", 3).alias("g")
+        ).collect()
+    }
+    assert out[2] == [] and out[3] == []
+    # windows: (5,7,9) x2, (7,9,5), (9,5,7) -> 3 distinct hashes
+    assert len(out[1]) == 3
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-ANN) dedup stage in the composed pipeline
+# ---------------------------------------------------------------------------
+
+def test_doc_pipeline_semantic_stage(spark, tmp_path):
+    """Planted semantic near-dups (nearly parallel embeddings, distinct
+    text) must resolve into clusters with lineage stage tag 'semantic';
+    text-identical behavior is untouched for docs without semantic
+    partners, and the stage runs on the survivors of the text stages
+    (an exact-dup loser's embedding must not chain drops)."""
+    import numpy as np
+
+    from light_curve_spark.plans.doc_pipeline import (
+        DocPipelineConfig,
+        run_document_pipeline,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from tests.test_round4 import _eval_corpus, _pipeline_corpus
+
+    docs = spark.createDataFrame(_pipeline_corpus()).repartition(4)
+    ev = spark.createDataFrame(_eval_corpus())
+
+    rng = np.random.RandomState(7)
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).tolist()
+
+    base = rng.randn(16)
+    emb_rows = []
+    for r in docs.select("doc_id").collect():
+        i = r.doc_id
+        if i in (5, 6):          # planted semantic dup pair: cos ~ 1
+            emb_rows.append((i, unit(base + 0.001 * rng.randn(16))))
+        elif i == 100:           # exact-dup LOSER carrying doc 7's vector:
+            emb_rows.append((i, unit(base * -1)))
+        else:                    # well-separated random vectors
+            emb_rows.append((i, unit(rng.randn(16))))
+    emb = spark.createDataFrame(emb_rows, "doc_id long, embedding array<float>")
+
+    cfg = DocPipelineConfig(
+        out_root=str(tmp_path / "dpsem"),
+        input_snapshot="v1",
+        min_quality=0.05,
+        contamination_min_shared=2,
+        semantic_threshold=0.98,
+    )
+    stats = run_document_pipeline(
+        spark, docs, cfg, eval_docs=ev, doc_embeddings=emb
+    )
+    assert stats["stages_run"] == 7
+
+    st = ParquetSnapshotStorage(spark, cfg.out_root)
+    status = {r.doc_id: r.drop_stage for r in st.read("dp_doc_status").collect()}
+    lost_to = {r.doc_id: r.lost_to for r in st.read("dp_doc_status").collect()}
+    # the planted semantic pair: min id 5 survives, 6 dropped w/ lineage
+    assert status[5] is None
+    assert status[6] == "semantic" and lost_to[6] == 5
+    # text stages unchanged
+    assert status[100] == "exact" and status[111] == "clusters"
+    assert status[120] == "contamination" and status[130] == "filters"
+    # persisted semantic pairs table exists and holds the pair
+    sem = st.read_snapshot("dp_pairs_semantic").collect()
+    assert {(r.doc_a, r.doc_b) for r in sem} == {(5, 6)}
+    # resume: everything skips
+    stats2 = run_document_pipeline(
+        spark, docs, cfg, eval_docs=ev, doc_embeddings=emb
+    )
+    assert stats2["stages_run"] == 0 and stats2["stages_skipped"] == 7
+
+
+def test_doc_pipeline_semantic_stage_disabled_is_noop(spark, tmp_path):
+    """No embeddings -> the semantic stage marks itself done and the
+    pipeline behaves exactly as before (6 stages run, no semantic
+    losers, no dp_pairs_semantic table)."""
+    from light_curve_spark.plans.doc_pipeline import run_document_pipeline
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from tests.test_round4 import _run_doc_pipeline
+
+    docs, ev, cfg = _run_doc_pipeline(spark, tmp_path, "dpnosem")
+    stats = run_document_pipeline(spark, docs, cfg, eval_docs=ev)
+    assert stats["stages_run"] == 6
+    st = ParquetSnapshotStorage(spark, cfg.out_root)
+    stages = {r.stage for r in st.read("dp_losers").collect()}
+    assert "semantic" not in stages
+    assert not st.exists("dp_pairs_semantic")
