@@ -278,6 +278,69 @@ def cross_ngram_contamination(
     )
 
 
+def cross_ngram_evidence(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Gram-level contamination EVIDENCE for incremental/streaming use:
+    ``(matches, train_df_contrib, eval_df_contrib)`` where
+
+    - ``matches``: distinct ``(train_id, eval_id, gram)`` triples for
+      every gram shared between a train and an eval document —
+      UN-thresholded (no max_df prune, no min_shared count);
+    - ``train_df_contrib``: ``(gram, df)`` — number of TRAIN docs
+      containing each eval-present gram;
+    - ``eval_df_contrib``: ``(gram, df)`` — number of eval docs
+      containing each gram.
+
+    Why evidence instead of decisions: :func:`cross_ngram_contamination`
+    prunes grams by document frequency over the UNION corpus, which a
+    stream cannot know per batch — a gram under ``max_df`` in one
+    arrival batch may be far over it corpus-wide, so fold-time decisions
+    silently over-drop relative to the batch pipeline (caught by the
+    round-5 91k-doc stream stress: 1,843 spuriously dropped docs).
+    Instead each batch persists its evidence + df contributions, and
+    the READ side reconstitutes the batch semantics exactly: sum the df
+    contributions, drop matches through grams whose total df exceeds
+    ``max_df``, then count distinct surviving grams per (eval, train)
+    pair against ``min_shared`` — both thresholds become read-time
+    policy, and a gram crossing ``max_df`` in a LATER batch
+    retroactively revokes earlier matches through it, exactly as a
+    batch rerun over the full corpus would.
+
+    All three outputs are bounded by the EVAL footprint (matches and
+    train contributions are semi-joined map-side against the broadcast
+    eval gram set — same plan as ``prune_to_eval``)."""
+    g_train = ensure_min_splits(train).select(
+        F.col("doc_id").alias("train_id"),
+        F.explode(
+            F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
+        ).alias("gram"),
+    )
+    g_eval = cached(
+        ensure_min_splits(eval_df).select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(
+                F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
+            ).alias("gram"),
+        )
+    )
+    eval_grams = g_eval.select("gram").distinct()
+    g_train = cached(
+        g_train.join(F.broadcast(eval_grams), "gram", "left_semi")
+    )
+    matches = g_eval.join(g_train, "gram").select(
+        "train_id", "eval_id", "gram"
+    )
+    train_df_contrib = g_train.groupBy("gram").agg(
+        F.count("*").alias("df")
+    )
+    eval_df_contrib = g_eval.groupBy("gram").agg(F.count("*").alias("df"))
+    return matches, train_df_contrib, eval_df_contrib
+
+
 def _minhash_signature(gram_hashes: F.Column, num_hashes: int, seed: int = 42) -> F.Column:
     """MinHash signature as an array column, all JVM-side.
 

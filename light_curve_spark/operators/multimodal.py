@@ -107,45 +107,78 @@ def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+FEATURES_ERR_SCHEMA = StructType(
+    list(FEATURES_SCHEMA.fields) + [StructField("error", StringType(), True)]
+)
+
+
 def decode_and_featurize(
-    media: DataFrame, fake: bool = False, feat_dim: int = 8
+    media: DataFrame,
+    fake: bool = False,
+    feat_dim: int = 8,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode payloads and emit a fixed-dim feature vector per item.
 
     Default path: REAL pure-numpy decode (kernels/media.py) — WAV/PCM
     audio -> [rate, channels, frames, mean, rms, min, max, zcr]; BMP/PPM
     image -> [w, h, mean_rgb..., std, min, max]; y4m video ->
-    [frames, w, h, fps, plane means, std_y]. Unsupported containers
-    raise ValueError (decode failures must surface, not zero-fill).
-    ``fake=True`` computes deterministic byte-moment features instead,
-    for synthetic corpora whose payloads are not real containers."""
+    [frames, w, h, fps, plane means, std_y]. ``fake=True`` computes
+    deterministic byte-moment features instead, for synthetic corpora
+    whose payloads are not real containers.
+
+    ``on_error``: ``'raise'`` (default) fails the task on the first
+    undecodable payload — corruption must surface, not zero-fill.
+    ``'mark'`` is the long-ingest posture: a corrupt row yields an empty
+    feature vector plus the decode error message in an ``error`` column
+    (schema gains that nullable field), so one bad file in a billion-row
+    scan costs one quarantined row, not the job. The caller routes
+    ``error IS NOT NULL`` rows to a quarantine table and the rest
+    onward; nothing is silently dropped either way."""
     from light_curve_spark.kernels.media import media_features
+
+    if on_error not in ("raise", "mark"):
+        raise ValueError(f"on_error must be 'raise' or 'mark', got {on_error!r}")
+    mark = on_error == "mark"
+    out_schema = FEATURES_ERR_SCHEMA if mark else FEATURES_SCHEMA
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, nbytes = [], []
+            feats, nbytes, errs = [], [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 raw = bytes(payload)
                 nbytes.append(len(raw))
-                if fake:
-                    data = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-                    chunks = np.array_split(data, feat_dim)
-                    feats.append(
-                        np.array([c.mean() if c.size else 0.0 for c in chunks])
-                    )
-                else:
-                    feats.append(np.asarray(media_features(kind, raw)))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": nbytes,
-                    "feature": feats,
-                }
-            )
+                try:
+                    if fake:
+                        data = np.frombuffer(raw, dtype=np.uint8).astype(
+                            np.float64
+                        )
+                        chunks = np.array_split(data, feat_dim)
+                        feats.append(
+                            np.array(
+                                [c.mean() if c.size else 0.0 for c in chunks]
+                            )
+                        )
+                    else:
+                        feats.append(np.asarray(media_features(kind, raw)))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — quarantined per-row
+                    if not mark:
+                        raise
+                    feats.append(np.array([], dtype=np.float64))
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            cols = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": nbytes,
+                "feature": feats,
+            }
+            if mark:
+                cols["error"] = errs
+            yield pd.DataFrame(cols)
 
     return media.select("media_id", "kind", "payload").mapInPandas(
-        fn, schema=FEATURES_SCHEMA
+        fn, schema=out_schema
     )
 
 

@@ -125,8 +125,6 @@ def run_stream_document_pipeline(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    contamination_min_shared: int = 2,
-    contamination_max_df: int = 1000,
     text_col: str = "text",
 ) -> None:
     """The STREAM-FED document pipeline: every arriving batch of
@@ -140,9 +138,16 @@ def run_stream_document_pipeline(
       exact-digest pairs AND near-dup pairs, maintained incrementally —
       exact duplicates are just edges with Jaccard 1 semantics, so one
       label forest carries both dedup stages;
-    - ``{prefix}_contam`` (append): train docs sharing >= min_shared
-      n-grams with the eval corpus (batch x eval only — contamination
-      is naturally incremental).
+    - ``{prefix}_contam_matches`` / ``{prefix}_gramdf`` (append):
+      gram-level contamination EVIDENCE — distinct (train_id, eval_id,
+      gram) triples restricted to eval-present grams, plus each batch's
+      gram document-frequency contribution. Decisions (max_df prune +
+      min_shared count) are NOT taken at fold time: per-batch df would
+      misclassify corpus-hot grams and over-drop relative to the batch
+      pipeline (found by the round-5 91k-doc stream stress — 1,843
+      spurious drops). :func:`read_document_status` reconstitutes the
+      batch semantics exactly from the evidence, with both thresholds
+      as read-time policy.
 
     Retroactive revocation falls out of the design: keep/drop is NOT
     decided at arrival — :func:`read_document_status` derives it from
@@ -155,7 +160,7 @@ def run_stream_document_pipeline(
     from light_curve_spark.operators.dedup import (
         _content_batch_id,
         _norm_text,
-        cross_ngram_contamination,
+        cross_ngram_evidence,
         incremental_dedup_clusters,
         incremental_minhash_pairs,
     )
@@ -227,19 +232,42 @@ def run_stream_document_pipeline(
                 storage, new_edges, table=f"{prefix}_labels"
             )
 
-            # 5. contamination: batch x eval only
+            # 5. contamination EVIDENCE: batch x eval gram matches + the
+            # batch's gram-df contribution; decisions are read-time
+            # policy (see read_document_status). Idempotent per table:
+            # a crash between the two appends leaves the rerun to fill
+            # in only the missing one.
             if eval_docs is not None:
-                hits = cross_ngram_contamination(
-                    batch_df, eval_docs, n=n,
-                    max_df=contamination_max_df,
-                    min_shared=contamination_min_shared, text_col=text_col,
+                matches, train_dfc, eval_dfc = cross_ngram_evidence(
+                    batch_df, eval_docs, n=n, text_col=text_col
                 )
-                storage.append(
-                    hits.select(
-                        F.col("train_id").alias("doc_id")
-                    ).distinct().withColumn("batch_id", F.lit(cid)),
-                    f"{prefix}_contam",
-                )
+
+                def _present(table: str) -> bool:
+                    return (
+                        storage.exists(table)
+                        and storage.read(table)
+                        .filter(F.col("batch_id") == cid)
+                        .limit(1)
+                        .count()
+                        > 0
+                    )
+
+                if not _present(f"{prefix}_contam_matches"):
+                    storage.append(
+                        matches.withColumn("batch_id", F.lit(cid)),
+                        f"{prefix}_contam_matches",
+                    )
+                if not _present(f"{prefix}_gramdf"):
+                    gram_rows = train_dfc.withColumn("batch_id", F.lit(cid))
+                    if not storage.exists(f"{prefix}_gramdf"):
+                        # first batch also records the (fixed) eval-side
+                        # df contribution under a reserved batch id
+                        gram_rows = gram_rows.unionByName(
+                            eval_dfc.withColumn(
+                                "batch_id", F.lit("__eval__")
+                            )
+                        )
+                    storage.append(gram_rows, f"{prefix}_gramdf")
             batch_df.unpersist()
 
     q = (
@@ -258,13 +286,20 @@ def read_document_status(
     prefix: str = "dpx",
     min_quality: float = 0.0,
     allowed_langs: tuple[str, ...] = (),
+    contamination_max_df: int = 1000,
+    contamination_min_shared: int = 2,
 ) -> DataFrame:
     """Current per-doc status derived from the live corpus state:
     (doc_id, lang_pred, quality, ws_tokens, drop_stage) with drop_stage
     in {'dup', 'contamination', 'filters', NULL=kept}. Quality/language
-    thresholds are READ-time policy — reruns with different thresholds
-    need no recompute, and retroactive dedup revocation is automatic
-    (the label forest is always current)."""
+    AND contamination thresholds are READ-time policy — reruns with
+    different thresholds need no recompute; retroactive dedup
+    revocation is automatic (the label forest is always current); and
+    contamination is derived from the persisted gram evidence with df
+    summed over EVERY arrived batch, so it equals the batch pipeline's
+    union-corpus semantics regardless of arrival split (a gram that
+    crossed ``contamination_max_df`` in a later batch retroactively
+    revokes earlier matches through it)."""
     attrs = (
         storage.read(f"{prefix}_attrs")
         .select("doc_id", "lang_pred", "quality", "ws_tokens")
@@ -277,12 +312,33 @@ def read_document_status(
         if storage.exists(f"{prefix}_labels")
         else None
     )
-    contam = (
-        storage.read(f"{prefix}_contam").select("doc_id").distinct()
-        .withColumn("_contam", F.lit("contamination"))
-        if storage.exists(f"{prefix}_contam")
-        else None
-    )
+    contam = None
+    if storage.exists(f"{prefix}_contam_matches"):
+        # reconstitute the batch pipeline's decision from the evidence:
+        # total df per gram over all arrived batches (+ the eval side),
+        # prune hot grams, then count distinct surviving shared grams
+        # per (eval, train) pair against min_shared
+        hot = (
+            storage.read(f"{prefix}_gramdf")
+            .groupBy("gram")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > contamination_max_df)
+            .select("gram")
+        )
+        matches = (
+            storage.read(f"{prefix}_contam_matches")
+            .select("train_id", "eval_id", "gram")
+            .distinct()  # crash-window re-deliveries collapse here
+            .join(hot, "gram", "left_anti")
+        )
+        contam = (
+            matches.groupBy("train_id", "eval_id")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= contamination_min_shared)
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+            .withColumn("_contam", F.lit("contamination"))
+        )
     out = attrs
     out = out.join(losers, "doc_id", "left") if losers is not None else \
         out.withColumn("_dup", F.lit(None).cast("string"))

@@ -233,6 +233,26 @@ def main() -> None:
     )
     assert "CartesianProduct" not in plan13
 
+    # 14. eval-footprint-bounded contamination (round 5): the corpus gram
+    # explode is semi-joined MAP-SIDE against the broadcast eval gram set
+    # before any shuffle — the whole stage scales with the eval set, not
+    # the corpus
+    from light_curve_spark.operators.dedup import cross_ngram_contamination
+
+    ev_docs = docs_par.limit(20)
+    plan14 = formatted(
+        cross_ngram_contamination(docs_par, ev_docs, n=3, max_df=100)
+    )
+    sections.append(
+        (
+            "Train/eval decontamination, eval-footprint-bounded (broadcast "
+            "LeftSemi on the corpus explode BEFORE the df/contamination "
+            "shuffles)",
+            plan14,
+            ["BroadcastHashJoin", "LeftSemi"],
+        )
+    )
+
     from light_curve_spark.plans.caching import release_operator_caches
 
     release_operator_caches()

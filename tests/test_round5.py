@@ -378,3 +378,176 @@ def test_doc_pipeline_semantic_stage_disabled_is_noop(spark, tmp_path):
     stages = {r.stage for r in st.read("dp_losers").collect()}
     assert "semantic" not in stages
     assert not st.exists("dp_pairs_semantic")
+
+
+# ---------------------------------------------------------------------------
+# per-row media decode error surfacing (round-4 verdict item 7)
+# ---------------------------------------------------------------------------
+
+def test_media_decode_on_error_mark_quarantines_per_row(spark):
+    """A corrupt payload among healthy ones: on_error='mark' completes
+    the job, yields the error message on exactly that row (empty
+    feature), and decodes every healthy row; the default ('raise')
+    fails the task — corruption never zero-fills silently."""
+    import os
+
+    import pytest as _pytest
+
+    from light_curve_spark.operators.multimodal import decode_and_featurize
+
+    media_dir = os.path.join(os.path.dirname(__file__), "..", "fixtures", "media")
+    rows = []
+    for name in sorted(os.listdir(media_dir)):
+        with open(os.path.join(media_dir, name), "rb") as f:
+            buf = f.read()
+        media_id = int(name.split("_")[0])
+        kind = name.split("_")[1].split(".")[0]
+        rows.append((media_id, kind, bytearray(buf)))
+    rows.append((999, "image", bytearray(b"NOTABMP\x00\x00\x00")))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).repartition(3)
+
+    out = decode_and_featurize(media, on_error="mark").collect()
+    by_id = {r.media_id: r for r in out}
+    assert len(by_id) == len(rows)
+    assert by_id[999].error is not None and "payload" in by_id[999].error
+    assert list(by_id[999].feature) == []
+    for media_id, _, _ in rows[:-1]:
+        assert by_id[media_id].error is None
+        assert len(by_id[media_id].feature) > 0
+
+    with _pytest.raises(Exception, match="payload"):
+        decode_and_featurize(media, on_error="raise").collect()
+
+    with _pytest.raises(ValueError, match="on_error"):
+        decode_and_featurize(media, on_error="ignore")
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF: frozen-centroid append + drift metric (verdict item 9)
+# ---------------------------------------------------------------------------
+
+def _blob_vectors(n, n_blobs, dim, seed, shift=0.0, centers_seed=1):
+    """Blob CENTERS are pinned by centers_seed (the population); `seed`
+    drives only the per-batch noise, so different batches sample the
+    SAME distribution unless shift is set."""
+    import numpy as np
+
+    centers = np.random.RandomState(centers_seed).randn(n_blobs, dim) * 3.0
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        c = centers[i % n_blobs] + shift
+        rows.append((i, (c + 0.3 * rng.randn(dim)).astype("float32").tolist()))
+    return rows
+
+
+def test_ivf_append_holds_recall_and_drift_metric(spark, tmp_path):
+    """Appending same-distribution vectors with frozen centroids must
+    keep probe recall (probe result == post-scan filter on the grown
+    table; brute-force top-k still found inside the probed buckets),
+    and the drift metric must stay ~1 for in-distribution arrivals but
+    fire (>1.5x) for a shifted batch."""
+    import numpy as np
+
+    from light_curve_spark.operators.similarity import (
+        append_ivf_partitioned,
+        ivf_assign,
+        ivf_quantization_stats,
+        read_ivf_probe,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    dim, blobs = 8, 6
+    base_rows = _blob_vectors(600, blobs, dim, seed=1)
+    base_ids = {r[0] for r in base_rows}
+    base = spark.createDataFrame(
+        [(i + 0, v) for i, v in base_rows], "vec_id long, embedding array<float>"
+    )
+    cents = train_ivf_centroids(base, n_centroids=blobs, sample_size=512)
+    path = str(tmp_path / "ivf")
+    write_ivf_partitioned(base, cents, path)
+    baseline = ivf_quantization_stats(base, cents)
+
+    # arriving batch, same distribution, new ids
+    new_rows = [(10_000 + i, v) for i, v in _blob_vectors(300, blobs, dim, seed=2)]
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<float>")
+    append_ivf_partitioned(new, cents, path)
+
+    # layout invariant: on-disk assignment == recomputed assignment
+    grown = spark.read.parquet(path)
+    assert grown.count() == 900
+    union = base.unionByName(new)
+    recomputed = {
+        (r.vec_id, r._bucket) for r in ivf_assign(union, cents).collect()
+    }
+    stored = {(r.vec_id, r._bucket) for r in grown.collect()}
+    assert stored == recomputed
+
+    # probe recall on the GROWN table: for queries at each blob center,
+    # the true top-5 (brute force over the union) must be inside the
+    # probed partitions' rows at nprobe=2
+    from light_curve_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(1)
+    centers = rng.randn(blobs, dim) * 3.0
+    for b in range(blobs):
+        q = [float(x) for x in centers[b]]
+        probed = read_ivf_probe(spark, path, cents, q, nprobe=2)
+        probed_ids = {r.vec_id for r in probed.select("vec_id").collect()}
+        true_top = {
+            r.vec_id for r in cosine_topk(union, q, k=5).collect()
+        }
+        assert true_top <= probed_ids, f"blob {b}: recall lost on append"
+
+    # drift metric: in-distribution ~1, shifted fires
+    same_stats = ivf_quantization_stats(new, cents)
+    assert same_stats["mean_d2"] / baseline["mean_d2"] < 1.5
+    shifted_rows = [
+        (20_000 + i, v) for i, v in _blob_vectors(200, blobs, dim, seed=3, shift=6.0)
+    ]
+    shifted = spark.createDataFrame(
+        shifted_rows, "vec_id long, embedding array<float>"
+    )
+    drift_stats = ivf_quantization_stats(shifted, cents)
+    assert drift_stats["mean_d2"] / baseline["mean_d2"] > 1.5
+
+
+def test_cross_ngram_evidence_reconstitutes_batch_decision(spark):
+    """Read-time derivation from gram evidence (matches + df
+    contributions) must equal cross_ngram_contamination's decisions for
+    any (max_df, min_shared) — including a max_df low enough that hot
+    grams are pruned, the case where per-batch fold-time decisions
+    diverge."""
+    from light_curve_spark.operators.dedup import (
+        cross_ngram_contamination,
+        cross_ngram_evidence,
+    )
+
+    train, ev = _two_corpora(spark)
+    matches, tdf, edf = cross_ngram_evidence(train, ev, n=2)
+    matches = matches.persist()
+    total_df = (
+        tdf.unionByName(edf).groupBy("gram").agg(F.sum("df").alias("df"))
+    ).persist()
+    for max_df, min_shared in [(10, 2), (1000, 2), (10, 1), (3, 3)]:
+        hot = total_df.filter(F.col("df") > max_df).select("gram")
+        derived = {
+            (r.eval_id, r.train_id, r.n_shared)
+            for r in matches.join(hot, "gram", "left_anti")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .collect()
+        }
+        direct = {
+            (r.eval_id, r.train_id, r.n_shared)
+            for r in cross_ngram_contamination(
+                train, ev, n=2, max_df=max_df, min_shared=min_shared
+            ).collect()
+        }
+        assert derived == direct, (max_df, min_shared)
+    matches.unpersist()
+    total_df.unpersist()
