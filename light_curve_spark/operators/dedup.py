@@ -494,7 +494,11 @@ def _content_batch_id(docs: DataFrame, text_col: str) -> str:
     cancels duplicates (k copies contribute k*h). Exact decimal(38,0)
     arithmetic — no ANSI long overflow, no float rounding; capacity
     ~1e19 rows per batch before decimal overflow, far beyond any real
-    append."""
+    append.
+
+    ``text_col`` may name ANY hashable content column — including an
+    ``array<int>`` tokens column (xxhash64 folds array elements), so the
+    tokens-native dedup path gets the same idempotency."""
     row = docs.select(
         F.count("*").alias("n"),
         F.sum(
@@ -514,6 +518,7 @@ def incremental_minhash_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     text_col: str = "text",
+    tokens_col: str | None = None,
     batch_id: str | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: near-dup pairs INVOLVING a new batch,
@@ -552,11 +557,14 @@ def incremental_minhash_pairs(
 
     index_table = f"{prefix}_index"
     if batch_id is None:
-        batch_id = _content_batch_id(new_docs, text_col)
+        # tokens-native batches derive identity from the tokens column
+        # (xxhash64 folds array elements) — no text needed anywhere
+        batch_id = _content_batch_id(new_docs, tokens_col or text_col)
 
     with cache_scope() as keep_cached:
         with_sig, banded = _minhash_sig_and_bands(
-            new_docs, n=n, num_hashes=num_hashes, bands=bands, text_col=text_col
+            new_docs, n=n, num_hashes=num_hashes, bands=bands,
+            text_col=text_col, tokens_col=tokens_col,
         )
         old = None
         already_folded = False

@@ -213,6 +213,121 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def incremental_embedding_pairs(
+    storage,
+    new_emb: DataFrame,
+    prefix: str = "emb",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs INVOLVING a new batch, against a
+    persisted LSH-bucketed embedding index — the embedding twin of
+    :func:`~light_curve_spark.operators.dedup.incremental_minhash_pairs`
+    for a corpus whose vectors arrive forever.
+
+    The hyperplane bucket is a pure function of (vector, seed), so it is
+    ARRIVAL-INDEPENDENT: each batch buckets itself once, equi-joins its
+    buckets against the stored ``{prefix}_index`` (bucket-keyed — only
+    collided buckets are touched), self-joins within the batch, and
+    verifies candidates with exact cosine >= ``threshold``. The union of
+    returned pairs over any batch split EQUALS one-shot
+    :func:`embedding_cosine_pairs_lsh` on the full corpus (tested).
+
+    Same idempotency contract as the MinHash index: one atomic append
+    per batch of ``(batch_id, id, vec, norm, bucket)`` rows, with a
+    content-derived ``batch_id`` (xxhash64 folds the float array) making
+    a re-submitted batch an index no-op. Returns (id_a, id_b, cosine)
+    with id_a < id_b."""
+    from light_curve_spark.operators.dedup import _content_batch_id
+    from light_curve_spark.plans.caching import cache_scope, cached
+
+    index_table = f"{prefix}_index"
+    if batch_id is None:
+        batch_id = _content_batch_id(
+            new_emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col)),
+            vec_col,
+        )
+
+    dim = len(new_emb.select(vec_col).head()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    with cache_scope() as keep_cached:
+        bucketed = cached(
+            new_emb.select(
+                F.col(id_col).alias("_id"),
+                _f64(vec_col).alias("_v"),
+                _norm_expr(vec_col).alias("_n"),
+                lsh_bucket_expr(vec_col, planes).alias("_bucket"),
+            )
+        )
+        old = None
+        already_folded = False
+        if storage.exists(index_table):
+            idx = storage.read(index_table)
+            already_folded = (
+                idx.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+            )
+            old = idx.filter(F.col("batch_id") != batch_id) if already_folded else idx
+            if already_folded and old.limit(1).count() == 0:
+                old = None
+
+        def _cos(a, b):
+            dot = F.aggregate(
+                F.zip_with(F.col(f"{a}._v"), F.col(f"{b}._v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return dot / (F.col(f"{a}._n") * F.col(f"{b}._n"))
+
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        within = a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        ).select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            _cos("a", "b").alias("cosine"),
+        )
+        cand = within
+        if old is not None:
+            o = old.select(
+                F.col("_id"), F.col("_v"), F.col("_n"), F.col("_bucket")
+            ).alias("o")
+            nw = bucketed.alias("n")
+            cross = o.join(
+                nw,
+                (F.col("o._bucket") == F.col("n._bucket"))
+                & (F.col("o._id") != F.col("n._id")),
+            ).select(
+                F.least(F.col("o._id"), F.col("n._id")).alias("id_a"),
+                F.greatest(F.col("o._id"), F.col("n._id")).alias("id_b"),
+                _cos("o", "n").alias("cosine"),
+            )
+            cand = within.unionByName(cross)
+        pairs = keep_cached(
+            cached(
+                cand.filter(F.col("cosine") >= threshold)
+                .dropDuplicates(["id_a", "id_b"])
+            )
+        )
+        pairs.count()  # materialize before releasing bucketed / appending
+        if not already_folded:
+            storage.append(
+                bucketed.select(
+                    F.lit(batch_id).alias("batch_id"),
+                    "_id", "_v", "_n", "_bucket",
+                ),
+                index_table,
+            )
+    return pairs
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,

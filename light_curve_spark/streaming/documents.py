@@ -126,6 +126,9 @@ def run_stream_document_pipeline(
     bands: int = 4,
     threshold: float = 0.5,
     text_col: str = "text",
+    embeddings_col: str | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_n_planes: int = 8,
 ) -> None:
     """The STREAM-FED document pipeline: every arriving batch of
     documents folds into persistent corpus state —
@@ -148,6 +151,20 @@ def run_stream_document_pipeline(
       spurious drops). :func:`read_document_status` reconstitutes the
       batch semantics exactly from the evidence, with both thresholds
       as read-time policy.
+    - ``{prefix}_sem_index`` / ``{prefix}_sem_pairs`` (append, when
+      ``embeddings_col`` names an embedding column in the arriving
+      schema): the SEMANTIC twin — each batch folds into a persisted
+      LSH-bucketed embedding index
+      (:func:`~light_curve_spark.operators.similarity
+      .incremental_embedding_pairs`) and its discovered cosine pairs
+      persist SEPARATELY from the text label forest. They stay separate
+      because the batch pipeline's semantic stage clusters pairs among
+      TEXT-dedup SURVIVORS only — a doc whose semantic partner already
+      lost as a text dup must not be chained through it — so
+      :func:`read_document_status` re-derives the semantic clusters at
+      read time over the pairs whose endpoints currently survive text
+      dedup (the pair set is tiny relative to the corpus; star
+      contraction over it is cheap).
 
     Retroactive revocation falls out of the design: keep/drop is NOT
     decided at arrival — :func:`read_document_status` derives it from
@@ -232,7 +249,41 @@ def run_stream_document_pipeline(
                 storage, new_edges, table=f"{prefix}_labels"
             )
 
-            # 5. contamination EVIDENCE: batch x eval gram matches + the
+            # 5. semantic pairs vs the persisted embedding index —
+            # pairs persist separately; clustering happens at read time
+            # over current text-dedup survivors (see docstring)
+            if embeddings_col is not None:
+                from light_curve_spark.operators.similarity import (
+                    incremental_embedding_pairs,
+                )
+
+                sem = incremental_embedding_pairs(
+                    storage,
+                    batch_df.select("doc_id", embeddings_col),
+                    prefix=f"{prefix}_sem",
+                    threshold=semantic_threshold,
+                    n_planes=semantic_n_planes,
+                    id_col="doc_id",
+                    vec_col=embeddings_col,
+                )
+                if not (
+                    storage.exists(f"{prefix}_sem_pairs")
+                    and storage.read(f"{prefix}_sem_pairs")
+                    .filter(F.col("batch_id") == cid)
+                    .limit(1)
+                    .count()
+                    > 0
+                ):
+                    storage.append(
+                        sem.select(
+                            F.col("id_a").alias("doc_a"),
+                            F.col("id_b").alias("doc_b"),
+                            "cosine",
+                        ).withColumn("batch_id", F.lit(cid)),
+                        f"{prefix}_sem_pairs",
+                    )
+
+            # 6. contamination EVIDENCE: batch x eval gram matches + the
             # batch's gram-df contribution; decisions are read-time
             # policy (see read_document_status). Idempotent per table:
             # a crash between the two appends leaves the rerun to fill
@@ -291,7 +342,7 @@ def read_document_status(
 ) -> DataFrame:
     """Current per-doc status derived from the live corpus state:
     (doc_id, lang_pred, quality, ws_tokens, drop_stage) with drop_stage
-    in {'dup', 'contamination', 'filters', NULL=kept}. Quality/language
+    in {'dup', 'semantic', 'contamination', 'filters', NULL=kept}. Quality/language
     AND contamination thresholds are READ-time policy — reruns with
     different thresholds need no recompute; retroactive dedup
     revocation is automatic (the label forest is always current); and
@@ -312,6 +363,33 @@ def read_document_status(
         if storage.exists(f"{prefix}_labels")
         else None
     )
+    sem_losers = None
+    if storage.exists(f"{prefix}_sem_pairs"):
+        # batch-pipeline semantics: cluster semantic pairs among CURRENT
+        # text-dedup survivors only, then drop non-minimum members. A
+        # later-arriving text duplicate retroactively changes which
+        # semantic pairs are live — recomputing here is what keeps the
+        # stream equal to a batch rerun.
+        from light_curve_spark.operators.dedup import dedup_clusters
+
+        sp = (
+            storage.read(f"{prefix}_sem_pairs")
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        if losers is not None:
+            txt = losers.select("doc_id")
+            sp = sp.join(
+                txt.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
+            ).join(
+                txt.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti"
+            )
+        if sp.limit(1).count() > 0:
+            sem_losers = (
+                dedup_clusters(sp)
+                .filter(F.col("doc_id") != F.col("keep_id"))
+                .select("doc_id", F.lit("semantic").alias("_sem"))
+            )
     contam = None
     if storage.exists(f"{prefix}_contam_matches"):
         # reconstitute the batch pipeline's decision from the evidence:
@@ -342,6 +420,8 @@ def read_document_status(
     out = attrs
     out = out.join(losers, "doc_id", "left") if losers is not None else \
         out.withColumn("_dup", F.lit(None).cast("string"))
+    out = out.join(sem_losers, "doc_id", "left") if sem_losers is not None \
+        else out.withColumn("_sem", F.lit(None).cast("string"))
     out = out.join(contam, "doc_id", "left") if contam is not None else \
         out.withColumn("_contam", F.lit(None).cast("string"))
     bad = F.col("quality") < F.lit(min_quality)
@@ -349,6 +429,7 @@ def read_document_status(
         bad = bad | ~F.col("lang_pred").isin(*allowed_langs)
     stage = F.coalesce(
         F.col("_dup"),
+        F.col("_sem"),
         F.col("_contam"),
         F.when(bad, F.lit("filters")),
     )

@@ -551,3 +551,193 @@ def test_cross_ngram_evidence_reconstitutes_batch_decision(spark):
         assert derived == direct, (max_df, min_shared)
     matches.unpersist()
     total_df.unpersist()
+
+
+def test_incremental_minhash_tokens_native(spark, tmp_path):
+    """The incremental index works tokens-native: batches of a
+    pre-tokenized corpus fold without any text column, content batch
+    ids derive from the tokens array, and the union of pairs over
+    batches equals the one-shot tokens-path output."""
+    from light_curve_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    rows = _token_corpus()
+    docs = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    one_shot = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, n=3, tokens_col="tokens").collect()
+    }
+    assert one_shot  # planted dups found
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "tokinc"))
+    got = set()
+    for k in (0, 1, 2):
+        batch = docs.filter(F.col("doc_id") % 3 == k)
+        pairs = incremental_minhash_pairs(
+            st, batch, prefix="tk", n=3, tokens_col="tokens"
+        )
+        got |= {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == one_shot
+    # re-delivering a batch is an index no-op
+    n_before = st.read("tk_index").count()
+    incremental_minhash_pairs(
+        st, docs.filter(F.col("doc_id") % 3 == 1), prefix="tk", n=3,
+        tokens_col="tokens",
+    )
+    assert st.read("tk_index").count() == n_before
+
+
+# ---------------------------------------------------------------------------
+# incremental + streaming semantic dedup (embedding twin of the MinHash index)
+# ---------------------------------------------------------------------------
+
+def test_incremental_embedding_pairs_matches_one_shot(spark, tmp_path):
+    """Union of incremental_embedding_pairs over arrival batches equals
+    one-shot embedding_cosine_pairs_lsh on the full corpus (the bucket
+    is a pure function of the vector, so arrival order is irrelevant);
+    re-submitting a batch is an index no-op."""
+    from light_curve_spark.operators.similarity import (
+        embedding_cosine_pairs_lsh,
+        incremental_embedding_pairs,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    rows = [
+        (i, v) for i, v in _blob_vectors(120, 5, 8, seed=4)
+    ]
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    one_shot = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in embedding_cosine_pairs_lsh(
+            emb, threshold=0.98, n_planes=6, id_col="doc_id"
+        ).collect()
+    }
+    assert one_shot  # blob structure plants near-parallel vectors
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "embinc"))
+    got = {}
+    for k in (0, 1, 2):
+        batch = emb.filter(F.col("doc_id") % 3 == k)
+        pairs = incremental_embedding_pairs(
+            st, batch, prefix="e", threshold=0.98, n_planes=6,
+            id_col="doc_id",
+        )
+        got.update(
+            {(r.id_a, r.id_b): round(r.cosine, 9) for r in pairs.collect()}
+        )
+    assert got == one_shot
+    n_before = st.read("e_index").count()
+    incremental_embedding_pairs(
+        st, emb.filter(F.col("doc_id") % 3 == 1), prefix="e",
+        threshold=0.98, n_planes=6, id_col="doc_id",
+    )
+    assert st.read("e_index").count() == n_before
+
+
+def test_stream_semantic_stage_matches_batch(spark, tmp_path):
+    """Stream-fed pipeline WITH embeddings over 3 arrival batches must
+    reproduce the batch pipeline's (semantic-stage-enabled) kept set —
+    including the rule that a semantic pair through a text-dup loser
+    does not chain — and tag semantic drops in read_document_status."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.plans.doc_pipeline import (
+        DocPipelineConfig,
+        run_document_pipeline,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.documents import (
+        read_document_status,
+        run_stream_document_pipeline,
+    )
+    from tests.test_round4 import _eval_corpus, _pipeline_corpus
+
+    docs_pd = _pipeline_corpus()
+    docs_pd = docs_pd[docs_pd["text"].notna()]
+    rng = np.random.RandomState(11)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).astype("float32").tolist()
+
+    base = rng.randn(12)
+    emb_map = {}
+    for i in docs_pd["doc_id"]:
+        if i in (5, 6):  # planted semantic dup pair
+            emb_map[i] = unit(base + 0.001 * rng.randn(12))
+        else:
+            emb_map[i] = unit(rng.randn(12))
+    rows = [
+        (int(i), t, emb_map[int(i)])
+        for i, t in zip(docs_pd["doc_id"], docs_pd["text"])
+    ]
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+            StructField("embedding", ArrayType(FloatType(), True), True),
+        ]
+    )
+    docs = spark.createDataFrame(rows, schema)
+    ev = spark.createDataFrame(_eval_corpus())
+
+    # batch reference with the semantic stage enabled
+    cfg = DocPipelineConfig(
+        out_root=str(tmp_path / "batch"),
+        input_snapshot="v1",
+        min_quality=0.05,
+        contamination_min_shared=2,
+        semantic_threshold=0.98,
+        semantic_n_planes=6,
+    )
+    run_document_pipeline(
+        spark,
+        docs.select("doc_id", "text"),
+        cfg,
+        eval_docs=ev,
+        doc_embeddings=docs.select("doc_id", "embedding"),
+    )
+    st_b = ParquetSnapshotStorage(spark, cfg.out_root)
+    batch_status = {
+        r.doc_id: r.drop_stage
+        for r in st_b.read("dp_doc_status").collect()
+    }
+    batch_kept = {d for d, s in batch_status.items() if s is None}
+    assert batch_status[6] == "semantic"
+    release_operator_caches()
+
+    # streamed arrival, 3 batches — the semantic pair 5/6 split across
+    # batches (5 in b2, 6 in b0) so the cross-index join finds it
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "sck")
+    storage = ParquetSnapshotStorage(spark, str(tmp_path / "stream"))
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{in_dir}/b{i}"
+        )
+        run_stream_document_pipeline(
+            spark, in_dir + "/*", schema, storage, ckpt,
+            eval_docs=ev, embeddings_col="embedding",
+            semantic_threshold=0.98, semantic_n_planes=6,
+        )
+        release_operator_caches()
+
+    status = {
+        r.doc_id: r.drop_stage
+        for r in read_document_status(storage, min_quality=0.05).collect()
+    }
+    stream_kept = {d for d, s in status.items() if s is None}
+    assert status[6] == "semantic"
+    assert stream_kept == batch_kept
