@@ -343,8 +343,17 @@ def run_document_pipeline(
             clean = document_attributes(surv, text_col=tc, include_input=True)
             # partition the clean corpus by predicted language: a
             # training-mix consumer filters by lang, and at 100 TB that
-            # filter must prune at the source, not post-scan
-            storage.append(clean, "dp_clean", partition_by=["lang_pred"])
+            # filter must prune at the source, not post-scan. Within each
+            # language directory, files are range-clustered on quality
+            # (round 5): a mix planner's quality-threshold filter then
+            # prunes row groups via footer min/max — the second skipping
+            # axis the partition key can't give
+            storage.append(
+                clean,
+                "dp_clean",
+                partition_by=["lang_pred"],
+                cluster_by=["quality"],
+            )
 
             # .distinct(): a crash between a stage's append and its
             # checkpoint record re-appends identical loser rows on the

@@ -92,14 +92,32 @@ class ParquetSnapshotStorage:
         snaps = self.snapshots(table)
         return snaps[-1]["id"] if snaps else None
 
-    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> str:
         """Append df as a new snapshot; returns the snapshot id.
 
         ``partition_by`` mirrors Iceberg partition specs (SURVEY.md §4.3:
         rollup tables by (tier, source), chunk table by source) so reads
-        get partition pruning and writes need no extra shuffle."""
+        get partition pruning and writes need no extra shuffle.
+
+        ``cluster_by`` adds the second skipping axis WITHIN partitions
+        (round 5): one range shuffle on (partition cols + cluster cols)
+        plus a within-task sort, so each partition directory's files
+        carry near-disjoint footer min/max ranges over the cluster
+        columns — a reader filtering on them prunes row groups the
+        partition filter alone cannot (same discipline as
+        :func:`light_curve_spark.sources.layout.write_clustered`; feeds
+        an Iceberg sort-order spec verbatim on a real warehouse)."""
         snap_id = uuid.uuid4().hex[:16]
         out = os.path.join(self.root, table, f"snap-{snap_id}")
+        if cluster_by:
+            keys = [*(partition_by or []), *cluster_by]
+            df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
         writer = df.write.mode("error")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -168,9 +186,20 @@ class IcebergStorage:
         not ValueError, so callers must never probe by catching)."""
         return self.spark.catalog.tableExists(table)
 
-    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> str:
         # Iceberg partitioning lives in the table spec (PARTITIONED BY at
-        # CREATE TABLE); the argument is accepted for interface parity.
+        # CREATE TABLE) and clustering in its sort-order spec; the
+        # arguments are accepted for interface parity, and cluster_by is
+        # honored by pre-sorting the write (same file-level effect).
+        if cluster_by:
+            keys = [*(partition_by or []), *cluster_by]
+            df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
         # First write auto-creates the table (writeTo().append() fails on
         # an uncreated table) — same append-from-nothing contract as the
         # parquet twin.

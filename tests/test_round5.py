@@ -741,3 +741,55 @@ def test_stream_semantic_stage_matches_batch(spark, tmp_path):
     stream_kept = {d for d, s in status.items() if s is None}
     assert status[6] == "semantic"
     assert stream_kept == batch_kept
+
+
+def test_storage_cluster_by_gives_disjoint_footers_within_partition(
+    spark, tmp_path
+):
+    """append(cluster_by=...) must leave each partition directory's
+    files with near-disjoint footer min/max ranges over the cluster
+    column (the row-group-skipping precondition); an unclustered append
+    leaves every file spanning the full domain."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.sources.layout import file_column_ranges
+
+    n = 4000
+    rng = np.random.RandomState(5)
+    rows = [
+        (int(i), ["en", "de"][i % 2], float(rng.rand()))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang_pred string, quality double"
+    ).repartition(8)
+
+    def max_overlap(root_dir):
+        worst = 0.0
+        for lang_dir in glob.glob(os.path.join(root_dir, "lang_pred=*")):
+            ranges = sorted(file_column_ranges(lang_dir, "quality"))
+            for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+                span = max(ahi, bhi) - min(alo, blo)
+                overlap = max(0.0, min(ahi, bhi) - max(blo, alo))
+                if span > 0:
+                    worst = max(worst, overlap / span)
+        return worst
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "clu"))
+    st.append(df, "t", partition_by=["lang_pred"], cluster_by=["quality"])
+    snap = st.snapshots("t")[-1]["path"]
+    assert max_overlap(snap) < 0.05
+
+    st2 = ParquetSnapshotStorage(spark, str(tmp_path / "unclu"))
+    st2.append(df, "t", partition_by=["lang_pred"])
+    snap2 = st2.snapshots("t")[-1]["path"]
+    assert max_overlap(snap2) > 0.5  # every file spans ~the full domain
+
+    # content identical either way
+    a = {tuple(r) for r in st.read("t").collect()}
+    b = {tuple(r) for r in st2.read("t").collect()}
+    assert a == b
