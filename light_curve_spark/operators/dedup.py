@@ -968,7 +968,9 @@ def _star_labels(
     return labels, rounds, prev_ckpts
 
 
-def simhash_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_kernel(
+    docs: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """(doc_id, sh): same hashes as :func:`simhash`, ONE pass.
 
     The expression form runs 64 interpreted ``F.aggregate`` lambdas per
@@ -977,12 +979,23 @@ def simhash_kernel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     transform/xxhash64), and a single mapInArrow kernel does all 64 bit
     votes at once in numpy over the flat ListArray buffer (bit-matrix +
     one add.reduceat per batch). Zero shuffle; hash parity with the
-    expression twin is pytest-asserted."""
+    expression twin is pytest-asserted.
+
+    ``tokens_col``: vote over per-TOKEN hashes (xxhash64 of the int64
+    token id) instead of word hashes — the tokens-native path for
+    pre-tokenized corpora; the bit-vote kernel is identical and the
+    scalar oracle (simhash_tokens_ref) reproduces it exactly."""
     import pyarrow as pa
 
-    words = F.split(_norm_text(text_col), " ")
+    if tokens_col is not None:
+        unit_hashes = F.transform(
+            F.col(tokens_col), lambda t: F.xxhash64(t.cast("long"))
+        )
+    else:
+        words = F.split(_norm_text(text_col), " ")
+        unit_hashes = F.transform(words, lambda w: F.xxhash64(w))
     hashed = ensure_min_splits(docs).select(
-        "doc_id", F.transform(words, lambda w: F.xxhash64(w)).alias("_h")
+        "doc_id", unit_hashes.alias("_h")
     )
     out_schema = StructType(
         [docs.schema["doc_id"], StructField("sh", LongType(), False)]
@@ -1277,6 +1290,7 @@ def simhash_dedup(
     docs: DataFrame,
     band_bits: int = 16,
     text_col: str = "text",
+    tokens_col: str | None = None,
     max_hamming: int | None = None,
     weighted: bool = False,
     approx_df: float | None = None,
@@ -1302,11 +1316,19 @@ def simhash_dedup(
     # splits the source has; the cache read re-parallelizes downstream)
     if approx_df is not None and not weighted:
         raise ValueError("approx_df requires weighted=True")
+    if tokens_col is not None and weighted:
+        # idf weighting is a word-df statistic; the tokens-native path
+        # ships unweighted (token vocabularies are bounded, so the Zipf
+        # vote-saturation the weighting fixes is far milder there)
+        raise ValueError("tokens_col supports the unweighted kernel only")
     if weighted and approx_df is not None:
         def kernel(d, tc):
             return simhash_weighted_approx_kernel(d, tc, sample_rate=approx_df)
     elif weighted:
         kernel = simhash_weighted_kernel
+    elif tokens_col is not None:
+        def kernel(d, tc):
+            return simhash_kernel(d, tc, tokens_col=tokens_col)
     else:
         kernel = simhash_kernel
     sh = cached(kernel(docs, text_col))

@@ -39,6 +39,7 @@ def run_stream_dedup(
     bands: int = 4,
     threshold: float = 0.5,
     text_col: str = "text",
+    tokens_col: str | None = None,
     with_clusters: bool = False,
 ) -> None:
     """One ``availableNow`` pass: fold every not-yet-seen document file
@@ -69,7 +70,9 @@ def run_stream_dedup(
         if batch_df.isEmpty():
             return
         with cache_scope():
-            cid = _content_batch_id(batch_df, text_col)
+            # tokens-native streams derive identity + grams from the
+            # tokens column; no text needed anywhere in the fold
+            cid = _content_batch_id(batch_df, tokens_col or text_col)
             pairs = incremental_minhash_pairs(
                 storage,
                 batch_df,
@@ -79,6 +82,7 @@ def run_stream_dedup(
                 bands=bands,
                 threshold=threshold,
                 text_col=text_col,
+                tokens_col=tokens_col,
                 batch_id=cid,
             )
             storage.append(

@@ -249,6 +249,21 @@ def simhash_ref(text: str) -> int:
     return to_i64(sh)
 
 
+def simhash_tokens_ref(tokens: list[int]) -> int:
+    """Tokens-native 64-bit SimHash — operators/dedup.simhash_kernel
+    with tokens_col: votes over xxhash64(token_id as int64)."""
+    votes = [0] * 64
+    for tkn in tokens:
+        h = spark_xxhash64_longs([tkn]) & MASK64
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    sh = 0
+    for i in range(64):
+        if votes[i] > 0:
+            sh |= 1 << i
+    return to_i64(sh) if tokens else 0
+
+
 def simhash_pairs_ref(
     docs: list[tuple[int, str]], band_bits: int = 16, max_hamming: int = 8
 ) -> list[tuple[int, int, int]]:

@@ -793,3 +793,95 @@ def test_storage_cluster_by_gives_disjoint_footers_within_partition(
     a = {tuple(r) for r in st.read("t").collect()}
     b = {tuple(r) for r in st2.read("t").collect()}
     assert a == b
+
+
+def test_simhash_tokens_native_matches_scalar_ref(spark):
+    """simhash_kernel(tokens_col=...) vs the scalar tokens-native ref;
+    simhash_dedup(tokens_col=...) finds the planted near-dups; weighted
+    + tokens is rejected."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from oracle_impl import simhash_tokens_ref
+
+    from light_curve_spark.operators.dedup import simhash_dedup, simhash_kernel
+
+    rows = _token_corpus()
+    docs = spark.createDataFrame(
+        rows, "doc_id int, tokens array<int>"
+    ).repartition(4)
+    got = {
+        r.doc_id: r.sh
+        for r in simhash_kernel(docs, tokens_col="tokens").collect()
+    }
+    want = {doc_id: simhash_tokens_ref(toks) for doc_id, toks in rows}
+    assert got == want
+
+    # short docs (~20 tokens) leave many near-tie bits, so one
+    # substituted token can flip several — use a tolerant radius and
+    # assert the planted partner collides in some band AND sits closer
+    # than the median pair
+    rows_ham = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_dedup(docs, tokens_col="tokens").collect()
+    }
+    assert (6, 7) in rows_ham  # planted one-token-substitution partner
+    import statistics
+
+    assert rows_ham[(6, 7)] <= statistics.median(rows_ham.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unweighted"):
+        simhash_dedup(docs, tokens_col="tokens", weighted=True)
+
+
+def test_stream_dedup_tokens_native(spark, tmp_path):
+    """run_stream_dedup over a pre-tokenized stream (tokens_col) — the
+    drained pair set equals one-shot tokens-path minhash_lsh_pairs."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from light_curve_spark.operators.dedup import minhash_lsh_pairs
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.documents import (
+        read_stream_pairs,
+        run_stream_dedup,
+    )
+
+    rows = _token_corpus()
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("tokens", ArrayType(IntegerType(), True), True),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(int(i), t) for i, t in rows], schema
+    )
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, n=3, tokens_col="tokens").collect()
+    }
+
+    in_dir = str(tmp_path / "in")
+    storage = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    for k in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == k).coalesce(1).write.parquet(
+            f"{in_dir}/b{k}"
+        )
+        run_stream_dedup(
+            spark, in_dir + "/*", schema, storage,
+            str(tmp_path / "ck"), prefix="tks", n=3, tokens_col="tokens",
+        )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in read_stream_pairs(storage, prefix="tks").collect()
+    }
+    assert got == want and want
