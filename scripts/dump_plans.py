@@ -253,6 +253,40 @@ def main() -> None:
         )
     )
 
+    # 15. incremental embedding pairs (round 5): bucket-keyed equi-joins
+    # only — candidates never leave their hyperplane bucket, so there is
+    # no cartesian/BNLJ anywhere even though the operator compares
+    # vectors pairwise
+    import tempfile
+
+    from light_curve_spark.operators.similarity import (
+        incremental_embedding_pairs,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    emb_rows = [
+        (i, [float((i * 7 + j * 13) % 17) / 17.0 for j in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(emb_rows, "doc_id long, embedding array<float>")
+    st15 = ParquetSnapshotStorage(spark, tempfile.mkdtemp(prefix="plans-emb-"))
+    # seed the index so the plan includes the stored-vs-new cross join
+    incremental_embedding_pairs(st15, emb.filter(F.col("doc_id") < 30), prefix="pe")
+    plan15_df = incremental_embedding_pairs(
+        st15, emb.filter(F.col("doc_id") >= 30), prefix="pe"
+    )
+    plan15 = formatted(plan15_df)
+    sections.append(
+        (
+            "Incremental embedding index fold (bucket equi-joins vs stored "
+            "index + within batch; exact-cosine verify inside buckets only)",
+            plan15,
+            ["SortMergeJoin", "InMemoryTableScan"],
+        )
+    )
+    assert "CartesianProduct" not in plan15
+    assert "BroadcastNestedLoopJoin" not in plan15
+
     from light_curve_spark.plans.caching import release_operator_caches
 
     release_operator_caches()

@@ -885,3 +885,63 @@ def test_stream_dedup_tokens_native(spark, tmp_path):
         for r in read_stream_pairs(storage, prefix="tks").collect()
     }
     assert got == want and want
+
+
+def test_stream_pipeline_checkpoint_loss_redelivery_is_idempotent(
+    spark, tmp_path
+):
+    """Worst-case at-least-once: the stream CHECKPOINT is lost after a
+    full drain, so a restart re-delivers EVERY file. Every fold-side
+    table must no-op (batch-id guards / idempotent folds), leaving the
+    final status and the evidence tables' row counts identical."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.documents import (
+        read_document_status,
+        run_stream_document_pipeline,
+    )
+    from tests.test_round4 import _eval_corpus, _pipeline_corpus
+
+    docs = spark.createDataFrame(_pipeline_corpus()).filter(
+        F.col("text").isNotNull()
+    )
+    ev = spark.createDataFrame(_eval_corpus())
+    schema = StructType(
+        [StructField("doc_id", LongType(), True),
+         StructField("text", StringType(), True)]
+    )
+    in_dir = str(tmp_path / "in")
+    storage = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    docs.coalesce(2).write.parquet(f"{in_dir}/b0")
+    run_stream_document_pipeline(
+        spark, in_dir + "/*", schema, storage, str(tmp_path / "ck1"),
+        eval_docs=ev,
+    )
+    release_operator_caches()
+    status1 = {
+        r.doc_id: r.drop_stage
+        for r in read_document_status(storage, min_quality=0.05).collect()
+    }
+    counts1 = {
+        t: storage.read(t).count()
+        for t in ("dpx_attrs", "dpx_index", "dpx_contam_matches", "dpx_gramdf")
+    }
+
+    # checkpoint loss: a FRESH checkpoint dir re-delivers everything
+    run_stream_document_pipeline(
+        spark, in_dir + "/*", schema, storage, str(tmp_path / "ck2"),
+        eval_docs=ev,
+    )
+    release_operator_caches()
+    status2 = {
+        r.doc_id: r.drop_stage
+        for r in read_document_status(storage, min_quality=0.05).collect()
+    }
+    counts2 = {
+        t: storage.read(t).count()
+        for t in ("dpx_attrs", "dpx_index", "dpx_contam_matches", "dpx_gramdf")
+    }
+    assert status2 == status1
+    assert counts2 == counts1, (counts1, counts2)
