@@ -570,6 +570,31 @@ def incremental_minhash_pairs(
         already_folded = False
         if storage.exists(index_table):
             idx = storage.read(index_table)
+            # era guard (round-5 review): round 5 changed BOTH the
+            # batch-id derivation (xor 'n..-x..' -> sum 'n..-s..') and
+            # the MinHash salt type (int32 -> int64 hash family). An
+            # index written under the old spec would silently break in
+            # two ways — re-submitted batches never match their stored
+            # id (duplicate index rows), and new band hashes never
+            # collide with stored ones (missed duplicates forever).
+            # Refuse to mix eras instead.
+            # only the old CONTENT-DERIVED format is flagged — caller-
+            # supplied custom batch ids pass through untouched
+            stale = (
+                idx.filter(
+                    F.col("batch_id").rlike(r"^n\d+-x[0-9a-f]{16}$")
+                )
+                .limit(1)
+                .count()
+                > 0
+            )
+            if stale:
+                raise ValueError(
+                    f"index table {index_table!r} contains batch ids from "
+                    "a pre-round-5 hash-family spec (xor ids / int32 "
+                    "MinHash salt); its band hashes are incompatible "
+                    "with this build — rebuild the index from the corpus"
+                )
             already_folded = (
                 idx.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
             )

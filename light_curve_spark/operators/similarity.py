@@ -182,7 +182,15 @@ def embedding_cosine_pairs_lsh(
     probability per plane is ~(1 - acos(0.95)/pi) ≈ 0.9, so 8 planes
     retain ~0.43 of true pairs per bucket pass — production uses several
     independent plane sets (OR-amplification), one pass here."""
-    dim = len(emb.select(vec_col).head()[0])
+    head = emb.select(vec_col).head()
+    if head is None:
+        # empty input: no pairs, correct schema (head()[0] would be a
+        # TypeError — hit when a pipeline stage's survivor-restricted
+        # embedding set is empty)
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(head[0])
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = emb.select(
         F.col(id_col),
@@ -252,7 +260,13 @@ def incremental_embedding_pairs(
             vec_col,
         )
 
-    dim = len(new_emb.select(vec_col).head()[0])
+    head = new_emb.select(vec_col).head()
+    if head is None:
+        # empty batch: nothing to fold or append; no pairs
+        return new_emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(head[0])
     planes = _hyperplanes(dim, n_planes, seed)
 
     with cache_scope() as keep_cached:
@@ -480,7 +494,9 @@ def ivf_quantization_stats(
                 dmin[s : s + blk.shape[0]] = np.min(d2, axis=1)
             yield pd.DataFrame({"_bucket": buckets, "_d2": dmin})
 
-    ad = emb.select(vec_col).mapInPandas(fn, schema=schema)
+    # persist across the two actions: without it the full scan plus the
+    # O(n*k*dim) distance kernel would run twice (round-5 review)
+    ad = emb.select(vec_col).mapInPandas(fn, schema=schema).persist()
     row = ad.agg(
         F.count("*").alias("n"),
         F.avg("_d2").alias("mean_d2"),
@@ -489,6 +505,7 @@ def ivf_quantization_stats(
     top = (
         ad.groupBy("_bucket").count().orderBy(F.desc("count")).limit(1).head()
     )
+    ad.unpersist()
     n = row["n"] or 0
     return {
         "n": int(n),

@@ -162,12 +162,15 @@ def run_document_pipeline(
         )
 
     def survivors_after(*stages: str) -> DataFrame:
+        # anti-join the RECORDED losers of every listed stage — never
+        # gate on this call's arguments: a resume invoked without
+        # eval_docs/doc_embeddings after those stages already ran (and
+        # appended losers) must still exclude their drops, or the clean
+        # corpus would contradict dp_doc_status (round-5 review
+        # finding). A stage that never ran simply has no loser rows and
+        # the anti-join is a no-op.
         out = docs
         for s in stages:
-            if s == "contamination" and eval_docs is None:
-                continue
-            if s == "semantic" and doc_embeddings is None:
-                continue
             out = out.join(
                 losers(s).select("doc_id"), "doc_id", "left_anti"
             )

@@ -147,14 +147,17 @@ def run_stream_document_pipeline(
       label forest carries both dedup stages;
     - ``{prefix}_contam_matches`` / ``{prefix}_gramdf`` (append):
       gram-level contamination EVIDENCE — distinct (train_id, eval_id,
-      gram) triples restricted to eval-present grams, plus each batch's
-      gram document-frequency contribution. Decisions (max_df prune +
-      min_shared count) are NOT taken at fold time: per-batch df would
-      misclassify corpus-hot grams and over-drop relative to the batch
-      pipeline (found by the round-5 91k-doc stream stress — 1,843
-      spurious drops). :func:`read_document_status` reconstitutes the
-      batch semantics exactly from the evidence, with both thresholds
-      as read-time policy.
+      gram) triples restricted to eval-present grams, plus the (fixed)
+      eval-side gram document frequencies written once. Decisions
+      (max_df prune + min_shared count) are NOT taken at fold time:
+      per-batch df would misclassify corpus-hot grams and over-drop
+      relative to the batch pipeline (found by the round-5 91k-doc
+      stream stress — 1,843 spurious drops). The TRAIN-side df is not
+      even persisted: the batch pipeline counts gram carriers among
+      dedup SURVIVORS, a set that changes retroactively, so
+      :func:`read_document_status` derives it from the live matches of
+      the current survivors — reconstituting the batch semantics
+      exactly, with both thresholds as read-time policy.
     - ``{prefix}_sem_index`` / ``{prefix}_sem_pairs`` (append, when
       ``embeddings_col`` names an embedding column in the arriving
       schema): the SEMANTIC twin — each batch folds into a persisted
@@ -195,6 +198,19 @@ def run_stream_document_pipeline(
             cid = _content_batch_id(batch_df, text_col)
             batch_df = batch_df.persist()
 
+            def _present(table: str) -> bool:
+                # idempotency probe shared by every per-batch append: a
+                # re-delivered batch (crash after append, before stream
+                # checkpoint) must not double its rows
+                return (
+                    storage.exists(table)
+                    and storage.read(table)
+                    .filter(F.col("batch_id") == cid)
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+
             # 1. attributes + digest, one pass, once per doc ever
             attrs = document_attributes(batch_df, text_col=text_col).join(
                 batch_df.select(
@@ -202,15 +218,7 @@ def run_stream_document_pipeline(
                 ),
                 "doc_id",
             ).withColumn("batch_id", F.lit(cid))
-            already = (
-                storage.exists(f"{prefix}_attrs")
-                and storage.read(f"{prefix}_attrs")
-                .filter(F.col("batch_id") == cid)
-                .limit(1)
-                .count()
-                > 0
-            )
-            if not already:
+            if not _present(f"{prefix}_attrs"):
                 storage.append(attrs, f"{prefix}_attrs")
 
             # 2. exact-digest pairs: batch vs stored corpus + within batch
@@ -270,14 +278,7 @@ def run_stream_document_pipeline(
                     id_col="doc_id",
                     vec_col=embeddings_col,
                 )
-                if not (
-                    storage.exists(f"{prefix}_sem_pairs")
-                    and storage.read(f"{prefix}_sem_pairs")
-                    .filter(F.col("batch_id") == cid)
-                    .limit(1)
-                    .count()
-                    > 0
-                ):
+                if not _present(f"{prefix}_sem_pairs"):
                     storage.append(
                         sem.select(
                             F.col("id_a").alias("doc_a"),
@@ -287,42 +288,33 @@ def run_stream_document_pipeline(
                         f"{prefix}_sem_pairs",
                     )
 
-            # 6. contamination EVIDENCE: batch x eval gram matches + the
-            # batch's gram-df contribution; decisions are read-time
-            # policy (see read_document_status). Idempotent per table:
-            # a crash between the two appends leaves the rerun to fill
-            # in only the missing one.
+            # 6. contamination EVIDENCE: batch x eval gram matches;
+            # decisions are read-time policy (see read_document_status).
+            # ONLY the matches and the (fixed) eval-side gram df are
+            # persisted — the train-side document frequency is derived
+            # at read time from the matches of the CURRENT dedup
+            # SURVIVORS, because the batch pipeline computes its max_df
+            # prune over survivors, not the raw corpus: a gram kept by
+            # the batch run (601 surviving carriers) must not be pruned
+            # because the stream also counted its 900 dup-loser carriers
+            # (round-5 review finding). Matches carry every arriving
+            # doc's incidence precisely SO the read side can re-filter
+            # as the survivor set changes retroactively.
             if eval_docs is not None:
-                matches, train_dfc, eval_dfc = cross_ngram_evidence(
+                matches, _train_dfc, eval_dfc = cross_ngram_evidence(
                     batch_df, eval_docs, n=n, text_col=text_col
                 )
-
-                def _present(table: str) -> bool:
-                    return (
-                        storage.exists(table)
-                        and storage.read(table)
-                        .filter(F.col("batch_id") == cid)
-                        .limit(1)
-                        .count()
-                        > 0
-                    )
-
                 if not _present(f"{prefix}_contam_matches"):
                     storage.append(
                         matches.withColumn("batch_id", F.lit(cid)),
                         f"{prefix}_contam_matches",
                     )
-                if not _present(f"{prefix}_gramdf"):
-                    gram_rows = train_dfc.withColumn("batch_id", F.lit(cid))
-                    if not storage.exists(f"{prefix}_gramdf"):
-                        # first batch also records the (fixed) eval-side
-                        # df contribution under a reserved batch id
-                        gram_rows = gram_rows.unionByName(
-                            eval_dfc.withColumn(
-                                "batch_id", F.lit("__eval__")
-                            )
-                        )
-                    storage.append(gram_rows, f"{prefix}_gramdf")
+                if not storage.exists(f"{prefix}_gramdf"):
+                    # once ever: the eval corpus is pinned for the run
+                    storage.append(
+                        eval_dfc.withColumn("batch_id", F.lit("__eval__")),
+                        f"{prefix}_gramdf",
+                    )
             batch_df.unpersist()
 
     q = (
@@ -395,26 +387,59 @@ def read_document_status(
                 .select("doc_id", F.lit("semantic").alias("_sem"))
             )
     contam = None
-    if storage.exists(f"{prefix}_contam_matches"):
-        # reconstitute the batch pipeline's decision from the evidence:
-        # total df per gram over all arrived batches (+ the eval side),
-        # prune hot grams, then count distinct surviving shared grams
-        # per (eval, train) pair against min_shared
-        hot = (
+    if storage.exists(f"{prefix}_contam_matches") and storage.exists(
+        f"{prefix}_gramdf"
+    ):
+        # reconstitute the batch pipeline's decision from the evidence.
+        # The batch run computes contamination over the SURVIVORS of the
+        # dedup stages, so (a) matches through currently-dropped train
+        # docs are excluded, and (b) the train-side document frequency
+        # is the count of SURVIVING carriers — both derived here from
+        # the live matches, so a retroactive dedup revocation reflows
+        # the contamination decision exactly as a batch rerun would.
+        # (The exists() pair also closes the crash window between the
+        # matches append and the first-batch gramdf append: until both
+        # are durable, contamination conservatively reports nothing.)
+        matches = (
+            storage.read(f"{prefix}_contam_matches")
+            .select("train_id", "eval_id", "gram")
+            .distinct()  # crash-window re-deliveries collapse here
+        )
+        dropped = []
+        if losers is not None:
+            dropped.append(losers.select("doc_id"))
+        if sem_losers is not None:
+            dropped.append(sem_losers.select("doc_id"))
+        if dropped:
+            gone = dropped[0]
+            for d in dropped[1:]:
+                gone = gone.unionByName(d)
+            matches = matches.join(
+                gone.withColumnRenamed("doc_id", "train_id"),
+                "train_id",
+                "left_anti",
+            )
+        train_df = (
+            matches.select("train_id", "gram")
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count("*").alias("df"))
+        )
+        eval_df_tbl = (
             storage.read(f"{prefix}_gramdf")
+            .filter(F.col("batch_id") == "__eval__")
+            .select("gram", "df")
+        )
+        hot = (
+            train_df.unionByName(eval_df_tbl)
             .groupBy("gram")
             .agg(F.sum("df").alias("df"))
             .filter(F.col("df") > contamination_max_df)
             .select("gram")
         )
-        matches = (
-            storage.read(f"{prefix}_contam_matches")
-            .select("train_id", "eval_id", "gram")
-            .distinct()  # crash-window re-deliveries collapse here
-            .join(hot, "gram", "left_anti")
-        )
         contam = (
-            matches.groupBy("train_id", "eval_id")
+            matches.join(hot, "gram", "left_anti")
+            .groupBy("train_id", "eval_id")
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= contamination_min_shared)
             .select(F.col("train_id").alias("doc_id"))

@@ -36,7 +36,6 @@ from oracle_impl import (
     fingerprint_ref,
     ivf_ann_topk_ref,
     lsh_ann_topk_ref,
-    media_row_ref,
     media_real_row_ref,
     minhash_lsh_pairs_ref,
     sequence_row_ref,
@@ -218,13 +217,6 @@ def export_media_real() -> None:
     ).to_parquet(os.path.join(OUT, "media_real.parquet"), index=False)
 
 
-def export_media(n_rows: int = 60, seed: int = 42) -> None:
-    rows = [media_row_ref(i, seed) for i in range(n_rows)]
-    pd.DataFrame(rows, columns=["media_id", "kind", "n_bytes", "f0"]).astype(
-        {"media_id": "int64", "n_bytes": "int64", "f0": "float64"}
-    ).to_parquet(os.path.join(OUT, "media_60.parquet"), index=False)
-
-
 def _lttb_ref(t: np.ndarray, v: np.ndarray, n_out: int):
     """Independent LTTB (Steinarsson 2013): same bucket-edge/centroid
     spec as operators/downsample.lttb, separately coded."""
@@ -292,7 +284,6 @@ if __name__ == "__main__":
     export_sequences_and_periodogram()
     export_rollup_quantiles()
     print("sequences/periodogram/quantiles done")
-    export_media()
     export_media_real()
     export_lttb_events(sf_dir)
     print("all fixtures written to", OUT)

@@ -945,3 +945,147 @@ def test_stream_pipeline_checkpoint_loss_redelivery_is_idempotent(
     }
     assert status2 == status1
     assert counts2 == counts1, (counts1, counts2)
+
+
+def test_stream_contamination_df_counts_survivors_like_batch(spark, tmp_path):
+    """A gram carried by many DUP-LOSER docs must not be pruned by
+    max_df when its SURVIVING carriers are few — the batch pipeline
+    counts survivors, and the stream's read-time derivation must too
+    (round-5 review finding: the stream's raw-corpus df accounting
+    diverged exactly when df straddles max_df)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.plans.doc_pipeline import (
+        DocPipelineConfig,
+        run_document_pipeline,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.documents import (
+        read_document_status,
+        run_stream_document_pipeline,
+    )
+
+    # doc 0..9: unique docs all containing the eval shingle run
+    # doc 100..129: 30 exact copies of one OTHER doc carrying the same
+    # shingle run -> 29 of them are dup losers; raw-corpus df for the
+    # shingle grams is ~41 (> max_df=20), survivor df is ~12 (<= 20)
+    shingle = "evq0 evq1 evq2 evq3 evq4"
+    rows = []
+    for i in range(10):
+        rows.append((i, f"{shingle} unique{i}_a unique{i}_b unique{i}_c"))
+    for j in range(30):
+        rows.append((100 + j, f"{shingle} copy_body same text here"))
+    for k in range(40):  # clean background docs
+        rows.append((500 + k, f"bg{k}_a bg{k}_b bg{k}_c bg{k}_d bg{k}_e"))
+    ev = spark.createDataFrame(
+        [(9001, shingle + " evq5 evq6")], "doc_id long, text string"
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType(), True),
+         StructField("text", StringType(), True)]
+    )
+    docs = spark.createDataFrame(rows, schema)
+
+    cfg = DocPipelineConfig(
+        out_root=str(tmp_path / "b"),
+        input_snapshot="v1",
+        contamination_min_shared=2,
+        contamination_max_df=20,
+    )
+    run_document_pipeline(spark, docs, cfg, eval_docs=ev)
+    st_b = ParquetSnapshotStorage(spark, cfg.out_root)
+    batch_status = {
+        r.doc_id: r.drop_stage for r in st_b.read("dp_doc_status").collect()
+    }
+    # sanity: the batch run DID find contamination through the shingle
+    assert "contamination" in set(batch_status.values())
+    release_operator_caches()
+
+    in_dir = str(tmp_path / "in")
+    storage = ParquetSnapshotStorage(spark, str(tmp_path / "s"))
+    for part in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == part).coalesce(1).write.parquet(
+            f"{in_dir}/b{part}"
+        )
+        run_stream_document_pipeline(
+            spark, in_dir + "/*", schema, storage, str(tmp_path / "ck"),
+            eval_docs=ev,
+        )
+        release_operator_caches()
+    stream_status = {
+        r.doc_id: r.drop_stage
+        for r in read_document_status(
+            storage, contamination_max_df=20, contamination_min_shared=2
+        ).collect()
+    }
+    batch_kept = {d for d, s in batch_status.items() if s is None}
+    stream_kept = {d for d, s in stream_status.items() if s is None}
+    assert stream_kept == batch_kept
+
+
+def test_incremental_index_rejects_pre_r5_era(spark, tmp_path):
+    """An index written under the old hash-family spec (xor batch ids /
+    int32 MinHash salt) must be refused, not silently mixed — old band
+    hashes can never collide with new ones, so mixing means missed
+    duplicates forever."""
+    import pandas as pd
+
+    from light_curve_spark.operators.dedup import incremental_minhash_pairs
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "era"))
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha one two", "beta three four"]})
+    )
+    incremental_minhash_pairs(st, batch, prefix="g", n=2)
+    # forge an old-era row into the index
+    old_row = st.read("g_index").limit(1).withColumn(
+        "batch_id", F.lit("n5-x00deadbeef00aa11")
+    )
+    st.append(old_row, "g_index")
+    nxt = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3], "text": ["gamma five six"]})
+    )
+    with pytest.raises(ValueError, match="pre-round-5"):
+        incremental_minhash_pairs(st, nxt, prefix="g", n=2)
+
+
+def test_semantic_stage_survives_empty_embedding_overlap(spark, tmp_path):
+    """Embeddings disjoint from the surviving corpus (or an empty batch)
+    must yield an empty semantic stage, not a TypeError from head()."""
+    from light_curve_spark.operators.similarity import (
+        embedding_cosine_pairs_lsh,
+        incremental_embedding_pairs,
+    )
+    from light_curve_spark.plans.doc_pipeline import (
+        DocPipelineConfig,
+        run_document_pipeline,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from tests.test_round4 import _eval_corpus, _pipeline_corpus
+
+    empty = spark.createDataFrame([], "doc_id long, embedding array<float>")
+    assert embedding_cosine_pairs_lsh(empty, id_col="doc_id").count() == 0
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "e"))
+    assert incremental_embedding_pairs(st, empty, id_col="doc_id").count() == 0
+
+    docs = spark.createDataFrame(_pipeline_corpus()).repartition(4)
+    ev = spark.createDataFrame(_eval_corpus())
+    # embeddings reference doc ids that do not exist in the corpus
+    emb = spark.createDataFrame(
+        [(990001, [1.0] * 8), (990002, [0.5] * 8)],
+        "doc_id long, embedding array<float>",
+    )
+    cfg = DocPipelineConfig(
+        out_root=str(tmp_path / "dp"),
+        input_snapshot="v1",
+        min_quality=0.05,
+        contamination_min_shared=2,
+    )
+    stats = run_document_pipeline(
+        spark, docs, cfg, eval_docs=ev, doc_embeddings=emb
+    )
+    assert stats["stages_run"] == 7  # semantic ran (empty) without crashing
+    status = ParquetSnapshotStorage(spark, cfg.out_root).read("dp_doc_status")
+    assert status.filter(F.col("drop_stage") == "semantic").count() == 0
