@@ -175,13 +175,22 @@ def embedding_cosine_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Scale path: candidates only WITHIN an LSH bucket (sign pattern of
     seeded hyperplanes), then exact cosine verification. Recall grows
     with fewer planes / multiprobe; at threshold ~0.95 the collision
     probability per plane is ~(1 - acos(0.95)/pi) ≈ 0.9, so 8 planes
-    retain ~0.43 of true pairs per bucket pass — production uses several
-    independent plane sets (OR-amplification), one pass here."""
+    retain ~0.43 of true pairs per bucket pass.
+
+    ``n_tables`` (round 5) is OR-amplification — the production recall
+    lever: ``n_tables`` INDEPENDENT plane sets (seeds ``seed + 1000*t``)
+    each bucket the corpus once, a pair is a candidate if it collides in
+    ANY table, and verification stays exact so extra tables only add
+    recall, never false positives. Retained-pair probability goes from
+    p to 1-(1-p)^T (0.43 -> 0.89 at T=4 for the numbers above); cost is
+    T bucket columns and T bucket-keyed self-joins over the same cached
+    projection — still never all-pairs."""
     head = emb.select(vec_col).head()
     if head is None:
         # empty input: no pairs, correct schema (head()[0] would be a
@@ -191,25 +200,39 @@ def embedding_cosine_pairs_lsh(
             [], "id_a long, id_b long, cosine double"
         )
     dim = len(head[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    all_planes = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
     bucketed = emb.select(
         F.col(id_col),
         _f64(vec_col).alias("_v"),
         _norm_expr(vec_col).alias("_n"),
-        lsh_bucket_expr(vec_col, planes).alias("_bucket"),
+        # one bucket column per table over a single projection pass
+        F.array(
+            *[lsh_bucket_expr(vec_col, p) for p in all_planes]
+        ).alias("_buckets"),
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    # explode to (table_id, bucket) keys: ONE equi-join covers every
+    # table (a pair colliding in several tables dedups below)
+    keyed = bucketed.select(
+        id_col,
+        "_v",
+        "_n",
+        F.posexplode("_buckets").alias("_tbl", "_bucket"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     cos = dot / (F.col("a._n") * F.col("b._n"))
-    return (
+    pairs = (
         a.join(
             b,
-            (F.col("a._bucket") == F.col("b._bucket"))
+            (F.col("a._tbl") == F.col("b._tbl"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -219,6 +242,9 @@ def embedding_cosine_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if n_tables > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def incremental_embedding_pairs(
@@ -230,6 +256,7 @@ def incremental_embedding_pairs(
     seed: int = 42,
     id_col: str = "doc_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
     batch_id: str | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs INVOLVING a new batch, against a
@@ -246,10 +273,14 @@ def incremental_embedding_pairs(
     :func:`embedding_cosine_pairs_lsh` on the full corpus (tested).
 
     Same idempotency contract as the MinHash index: one atomic append
-    per batch of ``(batch_id, id, vec, norm, bucket)`` rows, with a
+    per batch of ``(batch_id, id, vec, norm, buckets)`` rows, with a
     content-derived ``batch_id`` (xxhash64 folds the float array) making
-    a re-submitted batch an index no-op. Returns (id_a, id_b, cosine)
-    with id_a < id_b."""
+    a re-submitted batch an index no-op. ``n_tables`` is the same
+    OR-amplification as :func:`embedding_cosine_pairs_lsh` — the index
+    stores one bucket per table (array column, same derivation as the
+    MinHash band array so the stored and join-key forms cannot drift)
+    and a pair is a candidate on ANY table's collision. Returns
+    (id_a, id_b, cosine) with id_a < id_b."""
     from light_curve_spark.operators.dedup import _content_batch_id
     from light_curve_spark.plans.caching import cache_scope, cached
 
@@ -267,7 +298,9 @@ def incremental_embedding_pairs(
             [], "id_a long, id_b long, cosine double"
         )
     dim = len(head[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    all_planes = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
 
     with cache_scope() as keep_cached:
         bucketed = cached(
@@ -275,8 +308,14 @@ def incremental_embedding_pairs(
                 F.col(id_col).alias("_id"),
                 _f64(vec_col).alias("_v"),
                 _norm_expr(vec_col).alias("_n"),
-                lsh_bucket_expr(vec_col, planes).alias("_bucket"),
+                F.array(
+                    *[lsh_bucket_expr(vec_col, p) for p in all_planes]
+                ).alias("_buckets"),
             )
+        )
+        keyed = bucketed.select(
+            "_id", "_v", "_n",
+            F.posexplode("_buckets").alias("_tbl", "_bucket"),
         )
         old = None
         already_folded = False
@@ -297,11 +336,12 @@ def incremental_embedding_pairs(
             )
             return dot / (F.col(f"{a}._n") * F.col(f"{b}._n"))
 
-        a = bucketed.alias("a")
-        b = bucketed.alias("b")
+        a = keyed.alias("a")
+        b = keyed.alias("b")
         within = a.join(
             b,
-            (F.col("a._bucket") == F.col("b._bucket"))
+            (F.col("a._tbl") == F.col("b._tbl"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
             & (F.col("a._id") < F.col("b._id")),
         ).select(
             F.col("a._id").alias("id_a"),
@@ -311,12 +351,14 @@ def incremental_embedding_pairs(
         cand = within
         if old is not None:
             o = old.select(
-                F.col("_id"), F.col("_v"), F.col("_n"), F.col("_bucket")
+                "_id", "_v", "_n",
+                F.posexplode("_buckets").alias("_tbl", "_bucket"),
             ).alias("o")
-            nw = bucketed.alias("n")
+            nw = keyed.alias("n")
             cross = o.join(
                 nw,
-                (F.col("o._bucket") == F.col("n._bucket"))
+                (F.col("o._tbl") == F.col("n._tbl"))
+                & (F.col("o._bucket") == F.col("n._bucket"))
                 & (F.col("o._id") != F.col("n._id")),
             ).select(
                 F.least(F.col("o._id"), F.col("n._id")).alias("id_a"),
@@ -335,7 +377,7 @@ def incremental_embedding_pairs(
             storage.append(
                 bucketed.select(
                     F.lit(batch_id).alias("batch_id"),
-                    "_id", "_v", "_n", "_bucket",
+                    "_id", "_v", "_n", "_buckets",
                 ),
                 index_table,
             )

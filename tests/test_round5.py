@@ -1089,3 +1089,48 @@ def test_semantic_stage_survives_empty_embedding_overlap(spark, tmp_path):
     assert stats["stages_run"] == 7  # semantic ran (empty) without crashing
     status = ParquetSnapshotStorage(spark, cfg.out_root).read("dp_doc_status")
     assert status.filter(F.col("drop_stage") == "semantic").count() == 0
+
+
+def test_embedding_lsh_or_amplification(spark, tmp_path):
+    """n_tables=T OR-amplification: every single-table pair survives, T>1
+    only ADDS true pairs (verification is exact, so all returned pairs
+    are above threshold and a superset check against exact ground truth
+    holds), recall is measurably higher, and the incremental index at
+    T>1 still equals the one-shot operator over any batch split."""
+    from light_curve_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+        incremental_embedding_pairs,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    rows = _blob_vectors(300, 12, 16, seed=9)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(emb, threshold=0.9).collect()
+    }
+    t1 = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            emb, threshold=0.9, n_planes=10
+        ).collect()
+    }
+    t4 = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            emb, threshold=0.9, n_planes=10, n_tables=4
+        ).collect()
+    }
+    assert t1 <= t4 <= exact
+    assert len(t4) > len(t1)  # amplification recovered real pairs
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "amp"))
+    got = set()
+    for k in (0, 1, 2):
+        pairs = incremental_embedding_pairs(
+            st, emb.filter(F.col("vec_id") % 3 == k), prefix="amp",
+            threshold=0.9, n_planes=10, n_tables=4, id_col="vec_id",
+        )
+        got |= {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == t4
