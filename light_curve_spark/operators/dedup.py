@@ -41,6 +41,7 @@ inverted-index pruning, and it bounds the join fan-out at 100 TB).
 
 from __future__ import annotations
 
+import re
 import threading
 
 import numpy as np
@@ -509,6 +510,95 @@ def _content_batch_id(docs: DataFrame, text_col: str) -> str:
     return f"n{row['n']}-s{s:016x}"
 
 
+_PRE_R5_BATCH_ID = r"^n\d+-x[0-9a-f]{16}$"
+
+
+def _manifest_batch_ids(storage, table: str) -> set[str] | None:
+    """Batch ids recorded in the table's snapshot manifest metas
+    (``batch_id`` per append, ``batch_ids`` on a compacted snapshot), or
+    ``None`` when the backend has no meta support or any snapshot lacks
+    a stamp — callers then fall back to scanning the data. Turns the
+    per-delivery idempotency/era probes from full-index Spark jobs into
+    an O(#snapshots) manifest read (round-5 ADVICE: the probe cost grew
+    with index size on every arriving batch)."""
+    metas_fn = getattr(storage, "snapshot_metas", None)
+    if metas_fn is None:
+        return None
+    metas = metas_fn(table)
+    if metas is None:
+        return None
+    ids: set[str] = set()
+    for m in metas:
+        if m.get("batch_id"):
+            ids.add(m["batch_id"])
+        ids.update(m.get("batch_ids") or [])
+    return ids
+
+
+def _check_index_config(storage, table: str, config: dict) -> None:
+    """Raise when a persisted index's recorded hash-family / layout
+    config disagrees with the caller's arguments. Stored bucket keys are
+    a pure function of the config, so a mismatched call would silently
+    join incompatible keys and miss duplicates forever (round-5 ADVICE
+    on the embedding index — same failure mode as the MinHash era
+    guard). Legacy tables without metas are unvalidatable and pass."""
+    metas_fn = getattr(storage, "snapshot_metas", None)
+    metas = metas_fn(table) if metas_fn else None
+    if not metas:
+        return
+    stored = {k: metas[0][k] for k in config if k in metas[0]}
+    bad = {k: (stored[k], config[k]) for k in stored if stored[k] != config[k]}
+    if bad:
+        detail = ", ".join(
+            f"{k}: stored={s!r} call={c!r}" for k, (s, c) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"index table {table!r} was built under a different config "
+            f"({detail}); its stored bucket keys are incompatible with "
+            "this call — use matching parameters or rebuild the index"
+        )
+
+
+def _era_guard_scan(storage, idx: DataFrame, index_table: str) -> None:
+    """Legacy-table era probe (no manifest metas): one full-index rlike
+    scan, cached per (storage, table) so a clean verdict is paid once
+    per process, not once per arriving batch (round-5 ADVICE)."""
+    checked = storage.__dict__.setdefault("_era_checked_tables", set())
+    if index_table in checked:
+        return
+    stale = (
+        idx.filter(F.col("batch_id").rlike(_PRE_R5_BATCH_ID)).limit(1).count() > 0
+    )
+    if stale:
+        raise ValueError(
+            f"index table {index_table!r} contains batch ids from "
+            "a pre-round-5 hash-family spec (xor ids / int32 "
+            "MinHash salt); its band hashes are incompatible "
+            "with this build — rebuild the index from the corpus"
+        )
+    checked.add(index_table)
+
+
+def _band_pb(band_id: F.Column, band_hash: F.Column, partitions: int) -> F.Column:
+    """Layout partition key for a band row: band-key hash mod P. A
+    delivery touches only the partitions its own band keys map to, so
+    the stored-index side of the band join prunes at the directory
+    level (PartitionFilters) instead of scanning the whole corpus."""
+    return F.pmod(
+        F.xxhash64(band_id.cast("long"), band_hash),
+        F.lit(partitions).cast("long"),
+    )
+
+
+def _gram_pb(doc_id: F.Column, partitions: int) -> F.Column:
+    """Layout partition key for a gram row: P + doc-hash mod P — the
+    second half of the directory space, so the verification step's gram
+    fetch prunes to the partitions of the MATCHED docs only."""
+    return F.lit(partitions).cast("long") + F.pmod(
+        F.xxhash64(doc_id), F.lit(partitions).cast("long")
+    )
+
+
 def incremental_minhash_pairs(
     storage,
     new_docs: DataFrame,
@@ -520,6 +610,7 @@ def incremental_minhash_pairs(
     text_col: str = "text",
     tokens_col: str | None = None,
     batch_id: str | None = None,
+    index_partitions: int = 16,
 ) -> DataFrame:
     """Incremental corpus dedup: near-dup pairs INVOLVING a new batch,
     against a persisted MinHash index — without recomputing anything for
@@ -549,6 +640,20 @@ def incremental_minhash_pairs(
     tested) — incremental processing changes the SCHEDULE, not the
     result.
 
+    Index layout (round 6): new indexes are written BANDED-PARTITIONED —
+    still ONE ``{prefix}_index`` table with one atomic snapshot per
+    batch, but rows are exploded to (band row | gram row) granularity
+    and hive-partitioned on ``_pb``: band rows land in directory
+    ``pmod(hash(band_key), P)`` and gram rows in ``P + pmod(hash(doc),
+    P)``. A delivery's band join then reads ONLY the partitions its own
+    band keys occupy and the verification's gram fetch ONLY the
+    partitions of matched docs (PartitionFilters, plan-asserted in
+    tests) — per-delivery wall stops scaling with total index size
+    (round-5 verdict item 2; the IVF layout at similarity.py:620 proved
+    the pattern). Pre-round-6 indexes (``bands`` array column) keep the
+    full-scan join path for read compatibility; compaction rewrites
+    them into the partitioned layout.
+
     Caching: internals are scoped (released before return); the returned
     pairs DataFrame is materialized, persisted, and registered in the
     CALLER's cache registry — release it at a batch boundary via
@@ -560,16 +665,25 @@ def incremental_minhash_pairs(
         # tokens-native batches derive identity from the tokens column
         # (xxhash64 folds array elements) — no text needed anywhere
         batch_id = _content_batch_id(new_docs, tokens_col or text_col)
+    config = {
+        "n": n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "gram_source": "tokens" if tokens_col else "text",
+        "index_partitions": index_partitions,
+    }
 
     with cache_scope() as keep_cached:
         with_sig, banded = _minhash_sig_and_bands(
             new_docs, n=n, num_hashes=num_hashes, bands=bands,
             text_col=text_col, tokens_col=tokens_col,
         )
-        old = None
+        old = None  # (old_bands, old_grams) exploded form, or None
         already_folded = False
+        legacy_layout = False
         if storage.exists(index_table):
             idx = storage.read(index_table)
+            legacy_layout = "bands" in idx.columns
             # era guard (round-5 review): round 5 changed BOTH the
             # batch-id derivation (xor 'n..-x..' -> sum 'n..-s..') and
             # the MinHash salt type (int32 -> int64 hash family). An
@@ -577,30 +691,67 @@ def incremental_minhash_pairs(
             # two ways — re-submitted batches never match their stored
             # id (duplicate index rows), and new band hashes never
             # collide with stored ones (missed duplicates forever).
-            # Refuse to mix eras instead.
-            # only the old CONTENT-DERIVED format is flagged — caller-
-            # supplied custom batch ids pass through untouched
-            stale = (
-                idx.filter(
-                    F.col("batch_id").rlike(r"^n\d+-x[0-9a-f]{16}$")
+            # Refuse to mix eras instead. Only the old CONTENT-DERIVED
+            # id format is flagged — caller-supplied ids pass through.
+            known = _manifest_batch_ids(storage, index_table)
+            if known is not None:
+                if any(re.match(_PRE_R5_BATCH_ID, b) for b in known):
+                    raise ValueError(
+                        f"index table {index_table!r} contains batch ids "
+                        "from a pre-round-5 hash-family spec (xor ids / "
+                        "int32 MinHash salt); its band hashes are "
+                        "incompatible with this build — rebuild the index"
+                    )
+                _check_index_config(storage, index_table, config)
+                already_folded = batch_id in known
+                have_old = bool(known - {batch_id})
+            else:
+                # legacy manifest (no metas): scan probes, era verdict
+                # cached per storage/table
+                _era_guard_scan(storage, idx, index_table)
+                already_folded = (
+                    idx.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
                 )
-                .limit(1)
-                .count()
-                > 0
-            )
-            if stale:
-                raise ValueError(
-                    f"index table {index_table!r} contains batch ids from "
-                    "a pre-round-5 hash-family spec (xor ids / int32 "
-                    "MinHash salt); its band hashes are incompatible "
-                    "with this build — rebuild the index from the corpus"
+                have_old = (
+                    idx.filter(F.col("batch_id") != batch_id).limit(1).count() > 0
+                    if already_folded
+                    else True
                 )
-            already_folded = (
-                idx.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
-            )
-            old = idx.filter(F.col("batch_id") != batch_id) if already_folded else idx
-            if already_folded and old.limit(1).count() == 0:
-                old = None  # index held only this batch
+            if have_old:
+                stored = (
+                    idx.filter(F.col("batch_id") != batch_id)
+                    if already_folded
+                    else idx
+                )
+                if legacy_layout:
+                    # pre-round-6 row-per-doc layout: explode stored
+                    # bands back to join keys map-side (full scan)
+                    old = (
+                        stored.select("doc_id", F.explode("bands").alias("band"))
+                        .select("doc_id", "band.band_id", "band.band_hash"),
+                        stored.select("doc_id", "grams"),
+                    )
+                else:
+                    # banded-partitioned layout: restrict the scan to the
+                    # partitions this batch's band keys occupy. The pb
+                    # set is at most ``index_partitions`` small ints — a
+                    # bounded driver collect that buys directory-level
+                    # pruning on the stored side of the join.
+                    pbs = [
+                        r[0]
+                        for r in banded.select(
+                            _band_pb(
+                                F.col("band_id"), F.col("band_hash"),
+                                index_partitions,
+                            ).alias("pb")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    old_bands = stored.filter(F.col("_pb").isin(pbs)).select(
+                        "doc_id", "band_id", "band_hash"
+                    )
+                    old = (old_bands, stored)  # gram side pruned below
 
         a = banded.alias("a")
         b = banded.alias("b")
@@ -611,11 +762,8 @@ def incremental_minhash_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         if old is not None:
-            # stored bands explode back to join keys map-side — the scan
-            # prunes to (doc_id, bands) and never touches stored grams
-            o = old.select(
-                "doc_id", F.explode("bands").alias("band")
-            ).select("doc_id", "band.band_id", "band.band_hash").alias("o")
+            old_bands, old_store = old
+            o = old_bands.alias("o")
             nw = banded.alias("n")
             cross = (
                 o.join(
@@ -629,10 +777,26 @@ def incremental_minhash_pairs(
                 )
                 .filter(F.col("doc_a") != F.col("doc_b"))
             )
-            cand = new_new.unionByName(cross).distinct()
-            grams = with_sig.select("doc_id", "grams").unionByName(
-                old.select("doc_id", "grams")
-            )
+            cand = keep_cached(cached(new_new.unionByName(cross).distinct()))
+            if legacy_layout:
+                old_grams = old_store
+            else:
+                # gram fetch pruned to the partitions of MATCHED docs:
+                # cand is cached (verification reuses it), so this tiny
+                # agg costs one pass over the already-materialized pairs
+                gpbs = [
+                    r[0]
+                    for r in cand.select(
+                        F.explode(F.array("doc_a", "doc_b")).alias("d")
+                    )
+                    .select(_gram_pb(F.col("d"), index_partitions).alias("pb"))
+                    .distinct()
+                    .collect()
+                ]
+                old_grams = old_store.filter(F.col("_pb").isin(gpbs)).filter(
+                    F.col("grams").isNotNull()
+                ).select("doc_id", "grams")
+            grams = with_sig.select("doc_id", "grams").unionByName(old_grams)
         else:
             cand = new_new.distinct()
             grams = with_sig.select("doc_id", "grams")
@@ -643,13 +807,52 @@ def incremental_minhash_pairs(
         pairs.count()
         if not already_folded:
             rows_per_band = num_hashes // bands
-            index_rows = with_sig.select(
-                F.lit(batch_id).alias("batch_id"),
-                "doc_id",
-                "grams",
-                _band_array(F.col("sig"), bands, rows_per_band).alias("bands"),
-            )
-            storage.append(index_rows, index_table)
+            if legacy_layout:
+                # appends to a pre-round-6 index keep its layout — mixing
+                # row shapes in one table would corrupt both join paths
+                index_rows = with_sig.select(
+                    F.lit(batch_id).alias("batch_id"),
+                    "doc_id",
+                    "grams",
+                    _band_array(F.col("sig"), bands, rows_per_band).alias("bands"),
+                )
+                storage.append(
+                    index_rows, index_table, meta={"batch_id": batch_id, **config}
+                )
+            else:
+                band_rows = (
+                    with_sig.select(
+                        "doc_id",
+                        F.explode(
+                            _band_array(F.col("sig"), bands, rows_per_band)
+                        ).alias("band"),
+                    )
+                    .select(
+                        F.lit(batch_id).alias("batch_id"),
+                        "doc_id",
+                        F.col("band.band_id").alias("band_id"),
+                        F.col("band.band_hash").alias("band_hash"),
+                        F.lit(None).cast("array<bigint>").alias("grams"),
+                        _band_pb(
+                            F.col("band.band_id"), F.col("band.band_hash"),
+                            index_partitions,
+                        ).alias("_pb"),
+                    )
+                )
+                gram_rows = with_sig.select(
+                    F.lit(batch_id).alias("batch_id"),
+                    "doc_id",
+                    F.lit(None).cast("int").alias("band_id"),
+                    F.lit(None).cast("bigint").alias("band_hash"),
+                    "grams",
+                    _gram_pb(F.col("doc_id"), index_partitions).alias("_pb"),
+                )
+                storage.append(
+                    band_rows.unionByName(gram_rows),
+                    index_table,
+                    partition_by=["_pb"],
+                    meta={"batch_id": batch_id, **config},
+                )
     return pairs
 
 
@@ -698,11 +901,34 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     (``sc.setCheckpointDir(...)``, HDFS/object-store on a cluster), use a
     real ``checkpoint`` so the result survives executor churn; fall back
     to localCheckpoint in local/dev sessions."""
+    out, _path = _truncate_lineage_attributed(df)
+    return out
+
+
+def _truncate_lineage_attributed(df: DataFrame) -> tuple[DataFrame, str | None]:
+    """:func:`_truncate_lineage` plus the checkpoint's OWN storage path
+    (``.../rdd-N``), read from the checkpointed RDD handle — so cleanup
+    deletes exactly what this call wrote. Round-6 fix for the round-5
+    residual: attribution via a before/after directory diff could
+    misattribute (and cross-delete) a checkpoint landed concurrently by
+    ANOTHER application sharing the same reliable checkpoint dir; the
+    RDD handle cannot. Returns (df, None) for localCheckpoint or if the
+    handle is unreadable (caller falls back to the locked dir-diff)."""
     sc = df.sparkSession.sparkContext
     with _CKPT_LOCK:
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        if sc.getCheckpointDir() is None:
+            return df.localCheckpoint(eager=True), None
+        out = df.checkpoint(eager=True)
+        try:
+            # the checkpointed Dataset's plan is a LogicalRDD over the
+            # reliably-checkpointed RDD; its getCheckpointFile IS the
+            # rdd-N directory under the session checkpoint dir
+            rdd = out._jdf.queryExecution().analyzed().rdd()  # noqa: SLF001
+            opt = rdd.getCheckpointFile()
+            path = opt.get() if opt.isDefined() else None
+        except Exception:  # noqa: BLE001 — plan shape is Spark-internal
+            path = None
+        return out, path
 
 
 def _ckpt_subdirs(sc) -> set[str]:
@@ -955,13 +1181,20 @@ def _star_labels(
         # nobody "optimizes" this again without re-measuring.
         created: set[str] = set()
         if rounds % checkpoint_every == 0:
-            # the lock spans the before/after listing diff so no other
-            # library-internal checkpoint can land inside the window and
-            # be misattributed (then wrongly deleted) — see _CKPT_LOCK
+            # attribution comes from the checkpointed RDD handle — the
+            # deletion set is exactly this round's rdd-N dir, immune to
+            # concurrent checkpoints from OTHER applications sharing the
+            # checkpoint dir (round-5 residual). The locked before/after
+            # listing diff survives only as the fallback for when the
+            # handle is unreadable; the lock still guards that window
+            # against in-process library checkpoints.
             with _CKPT_LOCK:
                 before = _ckpt_subdirs(sc)
-                new_edges = _truncate_lineage(new_edges)
-                created = _ckpt_subdirs(sc) - before
+                new_edges, own_path = _truncate_lineage_attributed(new_edges)
+                if own_path is not None:
+                    created = {own_path}
+                elif sc.getCheckpointDir() is not None:
+                    created = _ckpt_subdirs(sc) - before
         new_edges = cached(new_edges)
         same_size = new_edges.count() == edges.count()
         unchanged = (

@@ -98,6 +98,7 @@ class ParquetSnapshotStorage:
         table: str,
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> str:
         """Append df as a new snapshot; returns the snapshot id.
 
@@ -112,7 +113,15 @@ class ParquetSnapshotStorage:
         columns — a reader filtering on them prunes row groups the
         partition filter alone cannot (same discipline as
         :func:`light_curve_spark.sources.layout.write_clustered`; feeds
-        an Iceberg sort-order spec verbatim on a real warehouse)."""
+        an Iceberg sort-order spec verbatim on a real warehouse).
+
+        ``meta`` (round 6) attaches small JSON-able key/values to the
+        snapshot manifest entry — the Iceberg snapshot-summary analogue.
+        The incremental operators stamp each append with its content
+        batch id (and the index hash-family config), so idempotency /
+        era probes become an O(#snapshots) manifest read instead of a
+        full-index Spark scan per delivery (round-5 ADVICE: the probe
+        jobs grew with index size on every arriving batch)."""
         snap_id = uuid.uuid4().hex[:16]
         out = os.path.join(self.root, table, f"snap-{snap_id}")
         if cluster_by:
@@ -123,7 +132,14 @@ class ParquetSnapshotStorage:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
         snaps = self.snapshots(table)
-        snaps.append({"id": snap_id, "committed_at": time.time(), "path": out})
+        entry = {"id": snap_id, "committed_at": time.time(), "path": out}
+        if meta:
+            entry["meta"] = meta
+        snaps.append(entry)
+        self._commit_manifest(table, snaps, snap_id)
+        return snap_id
+
+    def _commit_manifest(self, table: str, snaps: list[dict], snap_id: str) -> None:
         os.makedirs(os.path.join(self.root, table), exist_ok=True)
         # the manifest rewrite IS the commit point: write-temp + atomic
         # rename so a crash mid-commit leaves either the old manifest
@@ -134,6 +150,58 @@ class ParquetSnapshotStorage:
         with open(tmp, "w") as f:
             json.dump(snaps, f)
         os.replace(tmp, manifest)
+
+    def snapshot_metas(self, table: str) -> list[dict] | None:
+        """The per-snapshot ``meta`` dicts in commit order, or ``None``
+        if ANY committed snapshot lacks one (legacy table — callers fall
+        back to scanning the data). All-or-nothing on purpose: a partial
+        meta list would let an idempotency probe miss a legacy batch and
+        double-fold it."""
+        snaps = self.snapshots(table)
+        metas = [s.get("meta") for s in snaps]
+        if any(m is None for m in metas):
+            return None
+        return metas
+
+    def replace(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> str:
+        """Rewrite the table as ONE snapshot holding ``df`` — the
+        compaction commit (Iceberg ``rewrite_data_files`` analogue).
+        The new snapshot is written first, then the manifest atomically
+        becomes ``[new]``; superseded snapshot dirs are deleted after the
+        commit (best-effort — a crash mid-delete orphans directories the
+        manifest no longer references, never corrupts the table). Prior
+        snapshot ids stop being readable, exactly like an expired
+        Iceberg snapshot after ``expire_snapshots``; callers that need
+        the folded history (e.g. the batch ids every compacted delivery
+        carried) pass it forward in ``meta``."""
+        snap_id = uuid.uuid4().hex[:16]
+        out = os.path.join(self.root, table, f"snap-{snap_id}")
+        if cluster_by:
+            keys = [*(partition_by or []), *cluster_by]
+            df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+        old = self.snapshots(table)
+        entry = {"id": snap_id, "committed_at": time.time(), "path": out}
+        if meta:
+            entry["meta"] = meta
+        self._commit_manifest(table, [entry], snap_id)
+        import shutil
+
+        for s in old:
+            try:
+                shutil.rmtree(s["path"])
+            except OSError:
+                pass  # orphaned dir, invisible to readers
         return snap_id
 
     def read(self, table: str, as_of: str | None = None) -> DataFrame:
@@ -192,21 +260,76 @@ class IcebergStorage:
         table: str,
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> str:
         # Iceberg partitioning lives in the table spec (PARTITIONED BY at
         # CREATE TABLE) and clustering in its sort-order spec; the
         # arguments are accepted for interface parity, and cluster_by is
         # honored by pre-sorting the write (same file-level effect).
+        # ``meta`` maps onto Iceberg snapshot-summary properties
+        # (write option ``snapshot-property.<key>``) — the public API for
+        # stamping a commit, readable back from ``{table}.snapshots``.
         if cluster_by:
             keys = [*(partition_by or []), *cluster_by]
             df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
         # First write auto-creates the table (writeTo().append() fails on
         # an uncreated table) — same append-from-nothing contract as the
         # parquet twin.
+        writer = df.writeTo(table)
+        for k, v in (meta or {}).items():
+            writer = writer.option(f"snapshot-property.{k}", json.dumps(v))
         if not self.exists(table):
-            df.writeTo(table).create()
+            writer.create()
         else:
-            df.writeTo(table).append()
+            writer.append()
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).head()
+        return str(row[0])
+
+    def snapshot_metas(self, table: str) -> list[dict] | None:
+        """Snapshot metas from the Iceberg snapshot summaries (keys this
+        layer wrote as ``snapshot-property.*``); ``None`` when any
+        snapshot carries no such keys (written outside this layer)."""
+        rows = self.spark.sql(
+            f"SELECT summary FROM {table}.snapshots ORDER BY committed_at"
+        ).collect()
+        metas: list[dict] = []
+        ours = None
+        for r in rows:
+            summary = dict(r[0] or {})
+            m = {}
+            for k, v in summary.items():
+                try:
+                    m[k] = json.loads(v)
+                except (TypeError, ValueError):
+                    m[k] = v
+            # Iceberg injects operational keys (added-files etc.) into
+            # every summary; a snapshot is "ours" iff it carries the
+            # batch stamp this layer writes
+            ours = m if ("batch_id" in m or "batch_ids" in m or "eval_id" in m) else None
+            if ours is None:
+                return None
+            metas.append(ours)
+        return metas
+
+    def replace(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> str:
+        """Compaction commit: the table becomes exactly ``df`` in one
+        atomic Iceberg replace."""
+        if cluster_by:
+            keys = [*(partition_by or []), *cluster_by]
+            df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+        writer = df.writeTo(table)
+        for k, v in (meta or {}).items():
+            writer = writer.option(f"snapshot-property.{k}", json.dumps(v))
+        writer.createOrReplace()
         row = self.spark.sql(
             f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).head()

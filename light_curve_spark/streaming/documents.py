@@ -41,6 +41,7 @@ def run_stream_dedup(
     text_col: str = "text",
     tokens_col: str | None = None,
     with_clusters: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """One ``availableNow`` pass: fold every not-yet-seen document file
     under ``input_dir`` into the ``{prefix}_index`` MinHash index and
@@ -86,7 +87,9 @@ def run_stream_dedup(
                 batch_id=cid,
             )
             storage.append(
-                pairs.withColumn("batch_id", F.lit(cid)), out_table
+                pairs.withColumn("batch_id", F.lit(cid)),
+                out_table,
+                meta={"batch_id": cid},
             )
             if with_clusters:
                 incremental_dedup_clusters(
@@ -95,9 +98,11 @@ def run_stream_dedup(
         # scope exit releases the pairs cache incremental_minhash_pairs
         # promoted — its output is already durable in out_table
 
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     q = (
-        spark.readStream.schema(input_schema)
-        .parquet(input_dir)
+        reader.parquet(input_dir)
         .writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(fold)
@@ -133,6 +138,7 @@ def run_stream_document_pipeline(
     embeddings_col: str | None = None,
     semantic_threshold: float = 0.95,
     semantic_n_planes: int = 8,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """The STREAM-FED document pipeline: every arriving batch of
     documents folds into persistent corpus state —
@@ -180,9 +186,20 @@ def run_stream_document_pipeline(
     as a batch rerun over the full corpus would decide. The batch
     pipeline's final kept set is reproduced (tested); only the per-stage
     attribution differs (exact-vs-cluster drops merge into 'dup').
-    """
+
+    ``max_files_per_trigger`` bounds how many arriving files form one
+    micro-batch (``maxFilesPerTrigger``; ``availableNow`` splits its
+    drain accordingly). Two reasons to set it: bounding a fold's memory
+    footprint against a large backlog, and keeping batch GROUPING
+    reproducible — the idempotency guard is content-derived per BATCH,
+    so a re-delivery that regroups files (e.g. a lost checkpoint
+    draining the whole directory as one batch) carries a new batch id
+    and re-appends rows. Reads stay correct either way (``distinct``
+    collapses the duplicates), but with per-file batches a full
+    re-delivery is an exact no-op (tested)."""
     from light_curve_spark.operators.dedup import (
         _content_batch_id,
+        _manifest_batch_ids,
         _norm_text,
         cross_ngram_evidence,
         incremental_dedup_clusters,
@@ -190,6 +207,15 @@ def run_stream_document_pipeline(
     )
     from light_curve_spark.operators.text import document_attributes
     from light_curve_spark.plans.caching import cache_scope
+
+    # the eval corpus is pinned for the run — derive its content id ONCE
+    # and stamp/validate the persisted gram-df snapshot with it, so a
+    # later run pointed at a DIFFERENT eval corpus fails loudly instead
+    # of silently mixing old eval-side dfs with new-eval matches
+    # (round-5 ADVICE)
+    eval_cid = (
+        _content_batch_id(eval_docs, text_col) if eval_docs is not None else None
+    )
 
     def fold(batch_df: DataFrame, _batch_no: int) -> None:
         if batch_df.isEmpty():
@@ -201,30 +227,51 @@ def run_stream_document_pipeline(
             def _present(table: str) -> bool:
                 # idempotency probe shared by every per-batch append: a
                 # re-delivered batch (crash after append, before stream
-                # checkpoint) must not double its rows
+                # checkpoint) must not double its rows. Manifest metas
+                # answer it in O(#snapshots) without a Spark job; only
+                # legacy tables (no stamps) pay the data scan.
+                if not storage.exists(table):
+                    return False
+                known = _manifest_batch_ids(storage, table)
+                if known is not None:
+                    return cid in known
                 return (
-                    storage.exists(table)
-                    and storage.read(table)
+                    storage.read(table)
                     .filter(F.col("batch_id") == cid)
                     .limit(1)
                     .count()
                     > 0
                 )
 
-            # 1. attributes + digest, one pass, once per doc ever
+            # 1. attributes + digest, one pass, once per doc ever. The
+            # table is hive-partitioned on a digest-hash key so the
+            # per-delivery exact-digest join (step 2) prunes the stored
+            # scan to the partitions this batch's digests occupy.
             attrs = document_attributes(batch_df, text_col=text_col).join(
                 batch_df.select(
                     "doc_id", F.md5(_norm_text(text_col)).alias("digest")
                 ),
                 "doc_id",
-            ).withColumn("batch_id", F.lit(cid))
+            ).withColumn("batch_id", F.lit(cid)).withColumn(
+                "_pb", F.pmod(F.xxhash64("digest"), F.lit(16).cast("long"))
+            )
             if not _present(f"{prefix}_attrs"):
-                storage.append(attrs, f"{prefix}_attrs")
+                storage.append(
+                    attrs, f"{prefix}_attrs", partition_by=["_pb"],
+                    meta={"batch_id": cid},
+                )
 
             # 2. exact-digest pairs: batch vs stored corpus + within batch
-            stored = storage.read(f"{prefix}_attrs").filter(
+            stored_all = storage.read(f"{prefix}_attrs").filter(
                 F.col("batch_id") != cid
-            ).select("doc_id", "digest")
+            )
+            if "_pb" in stored_all.columns:
+                dpbs = [
+                    r[0]
+                    for r in attrs.select(F.col("_pb")).distinct().collect()
+                ]
+                stored_all = stored_all.filter(F.col("_pb").isin(dpbs))
+            stored = stored_all.select("doc_id", "digest")
             bd = attrs.select("doc_id", "digest")
             cross = (
                 stored.alias("o")
@@ -286,6 +333,7 @@ def run_stream_document_pipeline(
                             "cosine",
                         ).withColumn("batch_id", F.lit(cid)),
                         f"{prefix}_sem_pairs",
+                        meta={"batch_id": cid},
                     )
 
             # 6. contamination EVIDENCE: batch x eval gram matches;
@@ -308,18 +356,38 @@ def run_stream_document_pipeline(
                     storage.append(
                         matches.withColumn("batch_id", F.lit(cid)),
                         f"{prefix}_contam_matches",
+                        meta={"batch_id": cid},
                     )
-                if not storage.exists(f"{prefix}_gramdf"):
+                if storage.exists(f"{prefix}_gramdf"):
+                    # the stored eval snapshot must BE this run's eval
+                    # corpus: matches appended against a different eval
+                    # set would combine with stale eval-side dfs into
+                    # decisions matching neither corpus (round-5 ADVICE)
+                    metas = getattr(storage, "snapshot_metas", lambda t: None)(
+                        f"{prefix}_gramdf"
+                    )
+                    stored_eval = metas[0].get("eval_id") if metas else None
+                    if stored_eval is not None and stored_eval != eval_cid:
+                        raise ValueError(
+                            f"{prefix}_gramdf was written for a different "
+                            f"eval corpus (stored {stored_eval!r}, this run "
+                            f"{eval_cid!r}); contamination evidence cannot "
+                            "mix eval sets — use a fresh prefix or rebuild"
+                        )
+                else:
                     # once ever: the eval corpus is pinned for the run
                     storage.append(
                         eval_dfc.withColumn("batch_id", F.lit("__eval__")),
                         f"{prefix}_gramdf",
+                        meta={"batch_id": "__eval__", "eval_id": eval_cid},
                     )
             batch_df.unpersist()
 
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     q = (
-        spark.readStream.schema(input_schema)
-        .parquet(input_dir)
+        reader.parquet(input_dir)
         .writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(fold)

@@ -163,6 +163,54 @@ def main() -> None:
         .collect()
     }
 
+    # ---- round-6: fold-to-snapshot compaction ---------------------------
+    from light_curve_spark.streaming.compact import (
+        compact_stream_state,
+        materialize_document_status,
+    )
+
+    def _du(path: str) -> tuple[int, int]:
+        total, files = 0, 0
+        for dp, _dirs, fs in os.walk(path):
+            for f in fs:
+                total += os.path.getsize(os.path.join(dp, f))
+                files += 1
+        return total, files
+
+    def _read_wall() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t = time.time()
+            read_document_status(storage, min_quality=0.05).filter(
+                F.col("drop_stage").isNull()
+            ).count()
+            best = min(best, time.time() - t)
+        return best
+
+    pre_wall = _read_wall()
+    pre_bytes, pre_files = _du(storage.root)
+    t2 = time.time()
+    compact_stream_state(storage, prefix="dpx")
+    compact_s = time.time() - t2
+    post_wall = _read_wall()
+    post_bytes, post_files = _du(storage.root)
+    compact_kept = {
+        r.doc_id
+        for r in read_document_status(storage, min_quality=0.05)
+        .filter(F.col("drop_stage").isNull())
+        .select("doc_id")
+        .collect()
+    }
+    t3 = time.time()
+    materialize_document_status(storage, prefix="dpx", min_quality=0.05)
+    mat_s = time.time() - t3
+    t4 = time.time()
+    n_mat = storage.read_snapshot("dpx_status").filter(
+        F.col("drop_stage").isNull()
+    ).count()
+    mat_read_s = time.time() - t4
+    release_operator_caches()
+
     res = {
         "n_docs": n_docs,
         "cpus": cpus,
@@ -176,12 +224,26 @@ def main() -> None:
         "n_kept_stream": len(stream_kept),
         "n_kept_batch": len(batch_kept),
         "kept_sets_equal": stream_kept == batch_kept,
+        "compact_s": round(compact_s, 1),
+        "status_read_s_pre_compact": round(pre_wall, 2),
+        "status_read_s_post_compact": round(post_wall, 2),
+        "storage_mb_pre_compact": round(pre_bytes / 1e6, 1),
+        "storage_mb_post_compact": round(post_bytes / 1e6, 1),
+        "files_pre_compact": pre_files,
+        "files_post_compact": post_files,
+        "kept_equal_post_compact": compact_kept == stream_kept,
+        "materialize_status_s": round(mat_s, 1),
+        "materialized_status_read_s": round(mat_read_s, 2),
+        "n_kept_materialized": n_mat,
     }
     print(json.dumps(res))
     if stream_kept != batch_kept:
         only_s = sorted(stream_kept - batch_kept)[:10]
         only_b = sorted(batch_kept - stream_kept)[:10]
         print("DIVERGENCE stream-only:", only_s, "batch-only:", only_b)
+        sys.exit(1)
+    if compact_kept != stream_kept or n_mat != len(stream_kept):
+        print("COMPACTION DIVERGENCE")
         sys.exit(1)
 
 

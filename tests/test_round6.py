@@ -1,0 +1,502 @@
+"""Round-6 coverage: stream-state compaction, manifest-meta probes,
+partition-pruned incremental indexes, checkpoint attribution, IVF
+relayout, and the embedding-LSH guards (round-5 VERDICT items 1-2 and
+5-7 plus all four ADVICE findings)."""
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from tests.test_round4 import _eval_corpus, _pipeline_corpus
+
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType(), True),
+     StructField("text", StringType(), True)]
+)
+
+
+def _stream_deliver(spark, storage, in_dir, ckpt, ev, mfpt=None):
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.streaming.documents import run_stream_document_pipeline
+
+    run_stream_document_pipeline(
+        spark, in_dir + "/*", DOC_SCHEMA, storage, ckpt, eval_docs=ev,
+        max_files_per_trigger=mfpt,
+    )
+    release_operator_caches()
+
+
+def _status_map(storage, prefix="dpx"):
+    from light_curve_spark.streaming.documents import read_document_status
+
+    return {
+        r.doc_id: r.drop_stage
+        for r in read_document_status(storage, prefix=prefix, min_quality=0.05)
+        .collect()
+    }
+
+
+def test_compact_stream_state_preserves_status_and_future_folds(
+    spark, tmp_path
+):
+    """The compaction contract end-to-end: status equal before/after,
+    every table folded to ONE snapshot, a post-compaction delivery
+    still folds correctly (equal to an uncompacted twin), and a
+    checkpoint-loss re-delivery after compaction is still a no-op."""
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.compact import compact_stream_state
+
+    docs = spark.createDataFrame(_pipeline_corpus()).filter(
+        F.col("text").isNotNull()
+    )
+    ev = spark.createDataFrame(_eval_corpus())
+    in_a, in_b = str(tmp_path / "ina"), str(tmp_path / "inb")
+    st_a = ParquetSnapshotStorage(spark, str(tmp_path / "sa"))  # compacted
+    st_b = ParquetSnapshotStorage(spark, str(tmp_path / "sb"))  # twin
+
+    parts = [
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1) for k in range(3)
+    ]
+    for k in (0, 1):  # two deliveries, two drains
+        parts[k].write.parquet(f"{in_a}/b{k}")
+        parts[k].write.parquet(f"{in_b}/b{k}")
+        _stream_deliver(spark, st_a, in_a, str(tmp_path / "cka"), ev)
+        _stream_deliver(spark, st_b, in_b, str(tmp_path / "ckb"), ev)
+
+    before = _status_map(st_a)
+    stats = compact_stream_state(st_a, prefix="dpx")
+    assert stats["dpx_attrs"]["snapshots_before"] == 2
+    for t in stats:
+        assert len(st_a.snapshots(t)) == 1, t
+    assert _status_map(st_a) == before
+
+    # a post-compaction delivery folds into the compacted tables
+    parts[2].write.parquet(f"{in_a}/b2")
+    parts[2].write.parquet(f"{in_b}/b2")
+    _stream_deliver(spark, st_a, in_a, str(tmp_path / "cka"), ev)
+    _stream_deliver(spark, st_b, in_b, str(tmp_path / "ckb"), ev)
+    assert _status_map(st_a) == _status_map(st_b)
+
+    # checkpoint loss after compaction: a full re-delivery with the
+    # original per-file batch grouping must no-op (the content-derived
+    # batch ids survived compaction via the manifest meta)
+    counts = {
+        t: st_a.read(t).count()
+        for t in ("dpx_attrs", "dpx_index", "dpx_contam_matches")
+    }
+    _stream_deliver(spark, st_a, in_a, str(tmp_path / "cka2"), ev, mfpt=1)
+    assert counts == {
+        t: st_a.read(t).count()
+        for t in ("dpx_attrs", "dpx_index", "dpx_contam_matches")
+    }
+
+
+def test_materialize_document_status_matches_live_view(spark, tmp_path):
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.compact import materialize_document_status
+    from light_curve_spark.streaming.documents import read_document_status
+
+    docs = spark.createDataFrame(_pipeline_corpus()).filter(
+        F.col("text").isNotNull()
+    )
+    ev = spark.createDataFrame(_eval_corpus())
+    in_dir = str(tmp_path / "in")
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    docs.coalesce(2).write.parquet(f"{in_dir}/b0")
+    _stream_deliver(spark, st, in_dir, str(tmp_path / "ck"), ev)
+
+    out = materialize_document_status(st, prefix="dpx", min_quality=0.05)
+    live = read_document_status(st, prefix="dpx", min_quality=0.05)
+    got = {(r.doc_id, r.drop_stage) for r in out.collect()}
+    want = {(r.doc_id, r.drop_stage) for r in live.collect()}
+    assert got == want and got
+    # the snapshot records the policy it was computed under
+    meta = st.snapshot_metas("dpx_status")[0]
+    assert meta["policy"]["min_quality"] == 0.05
+
+
+def test_compact_migrates_legacy_minhash_index(spark, tmp_path):
+    """A pre-round-6 row-per-doc index (bands array column, no manifest
+    metas) is rewritten into the banded-partitioned layout by
+    compaction, after which incremental folds keep the union==one-shot
+    contract."""
+    from light_curve_spark.operators.dedup import (
+        _band_array,
+        _minhash_sig_and_bands,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.compact import compact_stream_state
+
+    rows = [
+        (i, " ".join(f"w{i % 9}_{j} shared{j % 4}" for j in range(20)))
+        for i in range(40)
+    ]
+    rows += [(500 + i, rows[i][1] + " tail") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    # hand-write batch 1 in the LEGACY layout (what round 5 persisted)
+    with_sig, _ = _minhash_sig_and_bands(
+        b1, n=3, num_hashes=16, bands=4, text_col="text"
+    )
+    st.append(
+        with_sig.select(
+            F.lit("n22-s" + "0" * 16).alias("batch_id"),
+            "doc_id",
+            "grams",
+            _band_array(F.col("sig"), 4, 4).alias("bands"),
+        ),
+        "mg_index",
+    )
+    release_operator_caches()
+    assert "bands" in st.read("mg_index").columns
+    assert st.snapshot_metas("mg_index") is None  # legacy: no stamps
+
+    compact_stream_state(st, prefix="mg")
+    migrated = st.read("mg_index")
+    assert "_pb" in migrated.columns and "bands" not in migrated.columns
+    # recovered batch id keeps the idempotency contract
+    assert st.snapshot_metas("mg_index")[0]["batch_ids"] == [
+        "n22-s" + "0" * 16
+    ]
+
+    p2 = incremental_minhash_pairs(st, b2, prefix="mg")
+    got = {(r.doc_a, r.doc_b) for r in p2.collect()}
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    # batch-2 fold discovers every cross pair and all within-b2 pairs
+    within_b1 = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(b1).collect()
+    }
+    assert got == want - within_b1
+    release_operator_caches()
+
+
+def test_minhash_index_banded_layout_prunes_partitions(spark, tmp_path):
+    """New indexes are hive-partitioned on the band/doc hash key, and a
+    key-restricted read shows PartitionFilters (directory pruning) in
+    the physical plan — the 100 TB posture: a delivery's join touches
+    only the partitions its own band keys occupy."""
+    from light_curve_spark.operators.dedup import incremental_minhash_pairs
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    rows = [
+        (i, " ".join(f"t{i}_{j} mix{j % 3}" for j in range(15)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    incremental_minhash_pairs(st, docs, prefix="pp")
+    release_operator_caches()
+
+    snap = st.snapshots("pp_index")[0]["path"]
+    dirs = [d for d in os.listdir(snap) if d.startswith("_pb=")]
+    assert dirs, "index snapshot is not hive-partitioned on _pb"
+    # band rows: 4 per doc in [0, 16); gram rows: 1 per doc in [16, 32)
+    idx = st.read("pp_index")
+    assert idx.filter(F.col("_pb") < 16).count() == 30 * 4
+    assert idx.filter(F.col("_pb") >= 16).count() == 30
+    assert idx.filter(
+        (F.col("_pb") >= 16) & F.col("grams").isNull()
+    ).count() == 0
+
+    pruned = idx.filter(F.col("_pb").isin([0, 1, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_pb" in plan
+
+
+def test_minhash_index_config_guard(spark, tmp_path):
+    from light_curve_spark.operators.dedup import incremental_minhash_pairs
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    incremental_minhash_pairs(st, docs, prefix="cg", num_hashes=16, bands=4)
+    release_operator_caches()
+    with pytest.raises(ValueError, match="different config"):
+        incremental_minhash_pairs(st, docs, prefix="cg", num_hashes=16, bands=8)
+    with pytest.raises(ValueError, match="different config"):
+        incremental_minhash_pairs(
+            st, docs.withColumn("tokens", F.array(F.lit(1))), prefix="cg",
+            tokens_col="tokens",
+        )
+    release_operator_caches()
+
+
+def test_manifest_probe_and_era_cache(spark, tmp_path):
+    """Idempotency/era probes read the snapshot manifest (no Spark job)
+    when every snapshot is stamped; legacy tables fall back to ONE scan
+    whose clean verdict is cached per storage object (round-5 ADVICE:
+    the rlike probe re-scanned the full index on every delivery)."""
+    from light_curve_spark.operators.dedup import (
+        _manifest_batch_ids,
+        incremental_minhash_pairs,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    docs = spark.createDataFrame(
+        [(i, f"p{i} q{i} r{i} s{i} t{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    pairs = incremental_minhash_pairs(st, docs, prefix="mp")
+    pairs.count()
+    ids = _manifest_batch_ids(st, "mp_index")
+    assert ids is not None and len(ids) == 1
+
+    # un-stamped append (legacy shape) -> manifest probe disabled
+    st.append(st.read("mp_index").limit(1), "mp_index")
+    assert _manifest_batch_ids(st, "mp_index") is None
+    docs2 = docs.withColumn("doc_id", F.col("doc_id") + 100)
+    incremental_minhash_pairs(st, docs2, prefix="mp")
+    assert "mp_index" in st.__dict__.get("_era_checked_tables", set())
+    release_operator_caches()
+
+
+def test_embedding_pairs_null_vectors_and_id_schema(spark, tmp_path):
+    """Round-5 ADVICE: a non-empty input whose head row has a NULL
+    embedding must not TypeError, and the empty-result schema must carry
+    the id column's ACTUAL type (string ids here)."""
+    from light_curve_spark.operators.similarity import (
+        embedding_cosine_pairs_lsh,
+        incremental_embedding_pairs,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    mixed = spark.createDataFrame(
+        [("a", None), ("b", [1.0, 0.0]), ("c", [1.0, 0.001])],
+        "doc_id string, embedding array<double>",
+    )
+    out = embedding_cosine_pairs_lsh(mixed, threshold=0.9, id_col="doc_id")
+    assert out.schema["id_a"].dataType.simpleString() == "string"
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {("b", "c")}
+
+    all_null = spark.createDataFrame(
+        [("x", None)], "doc_id string, embedding array<double>"
+    )
+    empty = embedding_cosine_pairs_lsh(all_null, id_col="doc_id")
+    assert empty.count() == 0
+    assert empty.schema["id_b"].dataType.simpleString() == "string"
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    inc = incremental_embedding_pairs(st, all_null, prefix="nn", id_col="doc_id")
+    assert inc.count() == 0
+    assert inc.schema["id_a"].dataType.simpleString() == "string"
+    assert not st.exists("nn_index")  # nothing to fold
+
+
+def test_embedding_index_config_guard_and_pruning(spark, tmp_path):
+    """Round-5 ADVICE: the persisted embedding index refuses a call
+    whose plane config disagrees with what built it; and the round-6
+    layout partitions rows on the bucket hash."""
+    from light_curve_spark.operators.similarity import incremental_embedding_pairs
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    incremental_embedding_pairs(st, emb, prefix="eg", n_planes=8, seed=42)
+    release_operator_caches()
+    snap = st.snapshots("eg_index")[0]["path"]
+    assert any(d.startswith("_pb=") for d in os.listdir(snap))
+    for bad in (
+        {"n_planes": 6},
+        {"seed": 43},
+        {"n_tables": 2},
+    ):
+        with pytest.raises(ValueError, match="different config"):
+            incremental_embedding_pairs(st, emb, prefix="eg", **bad)
+    release_operator_caches()
+
+
+def test_gramdf_eval_corpus_mismatch_raises(spark, tmp_path):
+    """Round-5 ADVICE: a stream run pointed at a DIFFERENT eval corpus
+    must fail loudly instead of silently reusing the stored eval-side
+    gram dfs."""
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    docs = spark.createDataFrame(_pipeline_corpus()).filter(
+        F.col("text").isNotNull()
+    )
+    ev1 = spark.createDataFrame(_eval_corpus())
+    ev2 = spark.createDataFrame(
+        [(9100, "totally different eval text here")],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    docs.coalesce(1).write.parquet(f"{in_dir}/b0")
+    _stream_deliver(spark, st, in_dir, str(tmp_path / "ck1"), ev1)
+    with pytest.raises(Exception, match="different[\\s\\S]*eval corpus"):
+        _stream_deliver(spark, st, in_dir, str(tmp_path / "ck2"), ev2)
+
+
+def test_star_checkpoint_deletion_attributed_by_rdd_handle(spark, tmp_path):
+    """Round-5 residual: cleanup must delete exactly the rdd-N dirs this
+    computation checkpointed — a concurrently-created foreign entry in
+    the shared checkpoint dir (another application's commit) survives."""
+    from light_curve_spark.operators import dedup as ddp
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    deleted: list[str] = []
+    orig = ddp._delete_ckpt_dirs
+
+    def recording(sc_, paths):
+        deleted.extend(paths)
+        orig(sc_, paths)
+
+    try:
+        ddp._delete_ckpt_dirs = recording
+        # a foreign subdir sitting in the session checkpoint dir the
+        # whole time (simulates another app sharing the dir)
+        foreign = os.path.join(sc.getCheckpointDir().replace("file:", ""), "foreign-app")
+        os.makedirs(foreign, exist_ok=True)
+        ids = list(range(300))
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
+        ).repartition(4)
+        labels = ddp.dedup_clusters(pairs, algorithm="star")
+        out = {r.doc_id: r.keep_id for r in labels.collect()}
+        assert set(out.values()) == {0}
+        assert deleted, "no checkpoints were cleaned up"
+        assert all(re.search(r"rdd-\d+$", p) for p in deleted), deleted
+        assert os.path.isdir(foreign), "foreign checkpoint dir was deleted"
+    finally:
+        ddp._delete_ckpt_dirs = orig
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+
+
+def test_relayout_ivf_after_drift(spark, tmp_path):
+    """The drift loop closes: a layout whose frozen centroids predate a
+    displaced batch is rewritten with freshly-sampled centroids; content
+    is preserved row-for-row, probing the new layout reproduces exact
+    search, and the new codebook quantizes the grown table better."""
+    from light_curve_spark.operators.similarity import (
+        append_ivf_partitioned,
+        cosine_topk,
+        ivf_quantization_stats,
+        read_ivf_probe,
+        relayout_ivf,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    rng = np.random.default_rng(5)
+    base = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(400)
+    ]
+    shifted = [
+        (1000 + i, [float(x + 6.0) for x in rng.normal(size=8)])
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    cents0 = train_ivf_centroids(emb, n_centroids=8, sample_size=256)
+    write_ivf_partitioned(emb, cents0, path)
+    drifted = spark.createDataFrame(
+        shifted, "vec_id long, embedding array<double>"
+    )
+    append_ivf_partitioned(drifted, cents0, path)
+
+    new_path = str(tmp_path / "ivf2")
+    cents1 = relayout_ivf(
+        spark, path, new_path, n_centroids=8, sample_size=256
+    )
+    old_tbl = spark.read.parquet(path)
+    new_tbl = spark.read.parquet(new_path)
+    assert new_tbl.count() == old_tbl.count() == 800
+
+    q = [float(x + 6.0) for x in rng.normal(size=8)]
+    exact = [
+        r.vec_id
+        for r in cosine_topk(old_tbl.drop("_bucket"), q, k=5).collect()
+    ]
+    probed = [
+        r.vec_id
+        for r in cosine_topk(
+            read_ivf_probe(spark, new_path, cents1, q, nprobe=8).drop("_bucket"),
+            q, k=5,
+        ).collect()
+    ]
+    assert probed == exact
+
+    grown = old_tbl.drop("_bucket")
+    d_old = ivf_quantization_stats(grown, cents0)["mean_d2"]
+    d_new = ivf_quantization_stats(grown, cents1)["mean_d2"]
+    assert d_new < d_old, (d_new, d_old)
+
+
+def test_embedding_lsh_bucket_cap(spark):
+    """The skew guard: on unskewed buckets the pair set is IDENTICAL to
+    the uncapped plan; with a tiny cap the output is a subset (salt
+    groups can only drop candidates, and verification stays exact)."""
+    from light_curve_spark.operators.similarity import embedding_cosine_pairs_lsh
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+        if i % 6 == 0:
+            rows.append(
+                (600 + i, [float(x + rng.normal(scale=0.005)) for x in v])
+            )
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    base = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            emb, threshold=0.95, id_col="doc_id"
+        ).collect()
+    }
+    uncapped_equal = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            emb, threshold=0.95, id_col="doc_id", bucket_cap=100_000
+        ).collect()
+    }
+    assert uncapped_equal == base and base
+
+    # hub-bucket shape: 200 near-identical vectors land in one bucket
+    hub = [
+        (2000 + i, [float(x) for x in (np.ones(8) + rng.normal(scale=0.001, size=8))])
+        for i in range(200)
+    ]
+    hemb = spark.createDataFrame(hub, "doc_id long, embedding array<double>")
+    full = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            hemb, threshold=0.99, id_col="doc_id"
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            hemb, threshold=0.99, id_col="doc_id", bucket_cap=50
+        ).collect()
+    }
+    assert capped <= full and capped  # subset, still finds within-salt pairs
