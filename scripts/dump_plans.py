@@ -279,13 +279,41 @@ def main() -> None:
     sections.append(
         (
             "Incremental embedding index fold (bucket equi-joins vs stored "
-            "index + within batch; exact-cosine verify inside buckets only)",
+            "index + within batch; exact-cosine verify inside buckets only; "
+            "HashJoin = AQE picks broadcast at this toy scale, sort-merge "
+            "at corpus scale — either way an EQUI join on bucket keys)",
             plan15,
-            ["SortMergeJoin", "InMemoryTableScan"],
+            ["HashJoin", "InMemoryTableScan"],
         )
     )
     assert "CartesianProduct" not in plan15
     assert "BroadcastNestedLoopJoin" not in plan15
+
+    # 16. partition-pruned incremental MinHash fold (round 6): the
+    # stored-index side of a delivery's band join reads ONLY the _pb
+    # partitions the batch's own band keys occupy — PartitionFilters on
+    # the index scan, so per-delivery cost follows the batch footprint,
+    # not the index size
+    from light_curve_spark.operators.dedup import incremental_minhash_pairs
+
+    st16 = ParquetSnapshotStorage(spark, tempfile.mkdtemp(prefix="plans-mh-"))
+    d16 = docs_par.select("doc_id", "text")
+    incremental_minhash_pairs(st16, d16.filter(F.col("doc_id") % 2 == 0), prefix="pm")
+    plan16 = formatted(
+        incremental_minhash_pairs(
+            st16, d16.filter(F.col("doc_id") % 2 == 1), prefix="pm"
+        )
+    )
+    sections.append(
+        (
+            "Incremental MinHash fold vs banded-partitioned index "
+            "(PartitionFilters prune the stored scan to the delivery's "
+            "own band-key partitions; gram fetch prunes to matched docs)",
+            plan16,
+            ["PartitionFilters: [_pb"],
+        )
+    )
+    assert "CartesianProduct" not in plan16
 
     from light_curve_spark.plans.caching import release_operator_caches
 
