@@ -139,6 +139,18 @@ def compact_stream_state(
         if suffix == "_index" and "bands" in df.columns:
             df = _migrate_minhash_index(df, index_partitions)
             config.setdefault("index_partitions", index_partitions)
+        if suffix == "_attrs" and "digest" in df.columns and "_pb" not in df.columns:
+            # migrate a pre-round-6 attrs table to the digest-hash
+            # partitioned layout the per-delivery exact-dup join prunes
+            # on — the modulus is the fold's pinned constant, NOT
+            # index_partitions (a mismatched modulus would silently
+            # unprune or, worse, mis-prune future deliveries)
+            from light_curve_spark.streaming.documents import ATTRS_PARTITIONS
+
+            df = df.withColumn(
+                "_pb",
+                F.pmod(F.xxhash64("digest"), F.lit(ATTRS_PARTITIONS).cast("long")),
+            )
         # distinct pre-applies the read-side crash-window normalization
         # (identical re-delivered rows collapse once, here, instead of
         # on every read)

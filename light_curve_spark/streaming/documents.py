@@ -25,6 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# digest-hash partition modulus for {prefix}_attrs — a single pinned
+# constant shared by the fold (write + pruned read) and by compaction's
+# legacy migration: _pb is only prunable if every writer used the SAME
+# modulus, so this is deliberately not a tunable
+ATTRS_PARTITIONS = 16
+
 
 def run_stream_dedup(
     spark: SparkSession,
@@ -253,13 +259,27 @@ def run_stream_document_pipeline(
                 ),
                 "doc_id",
             ).withColumn("batch_id", F.lit(cid)).withColumn(
-                "_pb", F.pmod(F.xxhash64("digest"), F.lit(16).cast("long"))
+                "_pb",
+                F.pmod(F.xxhash64("digest"), F.lit(ATTRS_PARTITIONS).cast("long")),
+            )
+            # a pre-round-6 attrs table has no _pb column — appends must
+            # match its schema (compaction migrates it to the
+            # partitioned layout; mixing shapes would break the union
+            # read)
+            legacy_attrs = storage.exists(f"{prefix}_attrs") and (
+                "_pb" not in storage.read(f"{prefix}_attrs").columns
             )
             if not _present(f"{prefix}_attrs"):
-                storage.append(
-                    attrs, f"{prefix}_attrs", partition_by=["_pb"],
-                    meta={"batch_id": cid},
-                )
+                if legacy_attrs:
+                    storage.append(
+                        attrs.drop("_pb"), f"{prefix}_attrs",
+                        meta={"batch_id": cid},
+                    )
+                else:
+                    storage.append(
+                        attrs, f"{prefix}_attrs", partition_by=["_pb"],
+                        meta={"batch_id": cid},
+                    )
 
             # 2. exact-digest pairs: batch vs stored corpus + within batch
             stored_all = storage.read(f"{prefix}_attrs").filter(

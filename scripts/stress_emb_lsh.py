@@ -63,7 +63,13 @@ def _vecs_for_ids(ids: np.ndarray, centers: np.ndarray | None, seed: int) -> np.
     u = _uniform01(ctr.ravel()).reshape(len(ids), DIM)
     v = (u - 0.5) * 2.0
     if centers is not None:
-        v = centers[ids % len(centers)] + 0.15 * v
+        # cluster spread sized so INTRA-cluster cosines sit BELOW the
+        # 0.95 threshold (~0.85 expected): hub sign-pattern buckets
+        # still form (the skew being measured), but the true pair set
+        # stays the planted twins instead of going quadratic in the
+        # cluster size (first run of this script: 0.15 spread made
+        # every same-cluster pair a true pair — 1.5e9 of them)
+        v = centers[ids % len(centers)] + 0.45 * v
     return v
 
 

@@ -500,3 +500,52 @@ def test_embedding_lsh_bucket_cap(spark):
         ).collect()
     }
     assert capped <= full and capped  # subset, still finds within-salt pairs
+
+
+def test_legacy_attrs_table_append_and_migration(spark, tmp_path):
+    """A pre-round-6 attrs table (no _pb partition column) keeps
+    working: new deliveries append in the legacy shape (no schema
+    drift in the union read), cross-era exact dups are still found,
+    and compaction migrates the table to the digest-partitioned
+    layout without changing status."""
+    from light_curve_spark.operators.dedup import _content_batch_id, _norm_text
+    from light_curve_spark.operators.text import document_attributes
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.compact import compact_stream_state
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    b1 = spark.createDataFrame(
+        [(i, f"legacy doc {i} body words {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    cid1 = _content_batch_id(b1, "text")
+    legacy_attrs = document_attributes(b1, text_col="text").join(
+        b1.select("doc_id", F.md5(_norm_text("text")).alias("digest")),
+        "doc_id",
+    ).withColumn("batch_id", F.lit(cid1))
+    st.append(legacy_attrs, "dpx_attrs")  # pre-round-6: no _pb, no meta
+    assert "_pb" not in st.read("dpx_attrs").columns
+
+    # delivery 2 contains an exact dup of legacy doc 3
+    b2_rows = [(100 + i, f"new doc {i} other words {i}") for i in range(5)]
+    b2_rows.append((200, "legacy doc 3 body words 3"))
+    b2 = spark.createDataFrame(b2_rows, "doc_id long, text string")
+    in_dir = str(tmp_path / "in")
+    b2.coalesce(1).write.parquet(f"{in_dir}/b2")
+    _stream_deliver(spark, st, in_dir, str(tmp_path / "ck"), None)
+    assert "_pb" not in st.read("dpx_attrs").columns  # legacy shape kept
+    status = _status_map(st)
+    assert status[200] == "dup" and status[3] is None
+
+    compact_stream_state(st, prefix="dpx")
+    assert "_pb" in st.read("dpx_attrs").columns
+    assert _status_map(st) == status
+
+    # post-migration delivery appends in the partitioned shape
+    b3 = spark.createDataFrame(
+        [(300, "legacy doc 4 body words 4")], "doc_id long, text string"
+    )
+    b3.coalesce(1).write.parquet(f"{in_dir}/b3")
+    _stream_deliver(spark, st, in_dir, str(tmp_path / "ck"), None)
+    status3 = _status_map(st)
+    assert status3[300] == "dup" and status3[4] is None
