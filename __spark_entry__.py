@@ -635,6 +635,35 @@ def q_minhash_incremental_documents(spark, sf_dir):
     return out.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
 
 
+def q_minhash_compacted_documents(spark, sf_dir):
+    """Two-batch incremental MinHash feed with a fold-to-snapshot
+    COMPACTION between the deliveries
+    (streaming/compact.compact_stream_state — round-6): batch 2 folds
+    against the compacted one-snapshot index, and the union of
+    per-batch pairs must still hash-match the ONE-SHOT fixture oracle.
+    Compaction changes the storage layout (snapshot count, pre-applied
+    distinct), never the result. Batch 1's pairs are materialized
+    eagerly because the compaction commit expires the snapshot files
+    its lazy plan would read."""
+    import tempfile
+
+    from light_curve_spark.operators.dedup import incremental_minhash_pairs
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.compact import compact_stream_state
+
+    docs = _docs(spark, sf_dir)
+    storage = ParquetSnapshotStorage(spark, tempfile.mkdtemp(prefix="mhcmp-"))
+    p0 = incremental_minhash_pairs(
+        storage, docs.filter(F.col("doc_id") % 2 == 0), threshold=0.5
+    ).localCheckpoint(eager=True)
+    compact_stream_state(storage, prefix="mh")
+    p1 = incremental_minhash_pairs(
+        storage, docs.filter(F.col("doc_id") % 2 == 1), threshold=0.5
+    )
+    out = p0.unionByName(p1)
+    return out.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
+
+
 def q_simhash_documents(spark, sf_dir):
     from light_curve_spark.operators.dedup import simhash_dedup
 
@@ -701,13 +730,6 @@ def q_cosine_topk_embeddings(spark, sf_dir):
     return out.select("vec_id", _r6("cosine").alias("cosine"))
 
 
-def q_cosine_topk_embeddings_kernel(spark, sf_dir):
-    from light_curve_spark.operators.similarity import cosine_topk_pandas
-
-    out = cosine_topk_pandas(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
-    return out.select("vec_id", _r6("cosine").alias("cosine"))
-
-
 def q_lsh_ann_embeddings(spark, sf_dir):
     from light_curve_spark.operators.similarity import lsh_ann_topk
 
@@ -727,6 +749,42 @@ def q_ivf_ann_embeddings(spark, sf_dir):
         _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
         n_centroids=16, nprobe=4,
     )
+    return out.select("vec_id", _r6("cosine").alias("cosine"))
+
+
+def q_ivf_relayout_embeddings(spark, sf_dir):
+    """IVF layout lifecycle end-to-end (round-6 drift-loop close,
+    operators/similarity.relayout_ivf): train centroids on the first
+    half of the table, write the bucket-partitioned layout,
+    frozen-centroid append the second half, then RELAYOUT — retrain on
+    a uniform draw of the grown table and rewrite under a new path.
+    Probing ALL buckets of the new layout must reproduce the exact
+    cosine top-10 (oracle: the same SQL as cosine_topk): the rewrite
+    moves rows between bucket directories, never changes them.
+    Pruned-probe (nprobe < n_centroids) recall is bench evidence, not
+    an exact oracle — BENCH.md."""
+    import tempfile
+
+    from light_curve_spark.operators.similarity import (
+        append_ivf_partitioned,
+        cosine_topk,
+        read_ivf_probe,
+        relayout_ivf,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ivfrl-")
+    v1, v2 = f"{root}/v1", f"{root}/v2"
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = train_ivf_centroids(first, n_centroids=8)
+    write_ivf_partitioned(first, cents, v1)
+    append_ivf_partitioned(emb.filter(F.col("vec_id") % 2 == 1), cents, v1)
+    new_cents = relayout_ivf(spark, v1, v2, n_centroids=8)
+    q = _query_vec(spark, sf_dir)
+    grown = read_ivf_probe(spark, v2, new_cents, q, nprobe=8).drop("_bucket")
+    out = cosine_topk(grown, q, k=10)
     return out.select("vec_id", _r6("cosine").alias("cosine"))
 
 
@@ -924,8 +982,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_events_ties": q_interpolate_events_ties,
         "events_in_signup_windows": q_events_in_signup_windows,
         "eta_trend_events": q_eta_trend_events,
+        # dmdt_events_kernel retired round 6 (registry cap: the kernel
+        # twin's parity with dmdt_events stays pytest-gated —
+        # tests/test_spark_operators.py — and its plan is still audited
+        # by scripts/dump_plans.py; slot reused for compaction)
         "dmdt_events": q_dmdt_events,
-        "dmdt_events_kernel": q_dmdt_events_kernel,
+        "minhash_compacted_documents": q_minhash_compacted_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
@@ -939,8 +1001,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": q_token_count_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "bm25_documents": q_bm25_documents,
+        # cosine_topk_embeddings_kernel retired round 6 (cap: the
+        # pandas-kernel twin's parity stays pytest-gated —
+        # tests/test_training_ops.py; slot reused for the IVF relayout)
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
-        "cosine_topk_embeddings_kernel": q_cosine_topk_embeddings_kernel,
+        "ivf_relayout_embeddings": q_ivf_relayout_embeddings,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
         "ivf_ann_embeddings": q_ivf_ann_embeddings,
         "embedding_pairs_exact": q_embedding_pairs_exact,
@@ -1574,7 +1639,6 @@ GROUP BY 1, 2
 """,
         "eta_trend_events": _ETA_TREND_SQL,
         "dmdt_events": _DMDT_SQL,
-        "dmdt_events_kernel": _DMDT_SQL,
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "contamination_documents": _CONTAMINATION_SQL,
@@ -1583,7 +1647,9 @@ GROUP BY 1, 2
         "token_count_documents": _TOKEN_COUNT_SQL,
         "embedding_pairs_exact": _EMB_PAIRS_SQL,
         "cosine_topk_embeddings": _COSINE_SQL,
-        "cosine_topk_embeddings_kernel": _COSINE_SQL,
+        # full-probe top-10 over the relayouted IVF table == exact
+        # cosine top-10 (layout lifecycle changes placement, not rows)
+        "ivf_relayout_embeddings": _COSINE_SQL,
         "validate_events": _VALIDATE_SQL,
         "sample_documents": """
 SELECT doc_id, source, n_chars FROM (
@@ -1612,6 +1678,12 @@ SELECT user_id, event_id, value FROM (
         ),
         # incremental two-batch feed must reproduce the ONE-SHOT fixture
         "minhash_incremental_documents": _fixture_sql(
+            "minhash_lsh.parquet",
+            "doc_a, doc_b, round(jaccard, 6) AS jaccard",
+        ),
+        # compaction between the two deliveries must also reproduce the
+        # one-shot fixture (layout folds, results don't)
+        "minhash_compacted_documents": _fixture_sql(
             "minhash_lsh.parquet",
             "doc_a, doc_b, round(jaccard, 6) AS jaccard",
         ),
