@@ -608,7 +608,7 @@ def ivf_assign(
 
 def append_ivf_partitioned(
     emb_new: DataFrame,
-    centroids: np.ndarray,
+    centroids: np.ndarray | None,
     path: str,
     vec_col: str = "embedding",
     shuffle_partitions: int | None = None,
@@ -627,7 +627,32 @@ def append_ivf_partitioned(
     farther from their centroids and probe recall decays. Measure it
     with :func:`ivf_quantization_stats` on each batch vs the baseline
     recorded at training time; retrain + rewrite when the ratio
-    degrades past ~1.5x (BENCH.md records the measured sensitivity)."""
+    degrades past ~1.5x (BENCH.md records the measured sensitivity).
+
+    Appending with a DIFFERENT codebook than the layout was written
+    with would strand the new rows in directories the probe (a pure
+    function of the stored centroids) never matches to them — the
+    persisted ``_ivf_centroids.json`` is validated against the given
+    centroids and a mismatch raises (the IVF analogue of the
+    incremental-index config guards). ``centroids=None`` uses the
+    stored codebook directly. Legacy layouts without the file skip the
+    guard (full-trust append, as before round 6)."""
+    import os
+
+    stored_file = os.path.join(path, _IVF_CENTROID_FILE)
+    if centroids is None:
+        centroids = load_ivf_centroids(path)
+    elif os.path.exists(stored_file):
+        stored = load_ivf_centroids(path)
+        if not np.array_equal(
+            stored, np.asarray(centroids, dtype=np.float64)
+        ):
+            raise ValueError(
+                f"centroids differ from the codebook {path} was written "
+                "with; appending would strand rows in unprobed buckets — "
+                "pass centroids=None to use the stored codebook, or "
+                "relayout_ivf to retrain"
+            )
     assigned = ivf_assign(emb_new, centroids, vec_col=vec_col)
     if shuffle_partitions:
         assigned = assigned.repartition(shuffle_partitions, F.col("_bucket"))
@@ -707,11 +732,11 @@ def relayout_ivf(
     :func:`ivf_quantization_stats` reports arriving batches quantizing
     badly against the frozen codebook (drift ratio past ~1.5), retrain
     the centroids on a fresh sample of the CURRENT table and rewrite the
-    partitioned layout under ``new_path``. Returns the new centroids —
-    persist them next to the table; probing continues against the OLD
-    layout until the rewrite commits, then readers switch paths (the
-    blue/green cutover a real warehouse would do; Iceberg makes it one
-    atomic swap).
+    partitioned layout under ``new_path``. Returns the new centroids
+    (also persisted with the layout via :func:`save_ivf_centroids`);
+    probing continues against the OLD layout until the rewrite commits,
+    then readers switch paths (the blue/green cutover a real warehouse
+    would do; Iceberg makes it one atomic swap).
 
     The retraining sample is ordered by ``xxhash64(id)`` — a
     deterministic uniform draw across the WHOLE grown table. Reusing the
@@ -833,15 +858,72 @@ def write_ivf_partitioned(
     if shuffle_partitions:
         assigned = assigned.repartition(shuffle_partitions, F.col("_bucket"))
     assigned.write.partitionBy("_bucket").parquet(path)
+    # the codebook rides with the layout: probing after a driver
+    # restart must not depend on in-memory state
+    save_ivf_centroids(path, centroids)
+
+
+_IVF_CENTROID_FILE = "_ivf_centroids.json"
+
+
+def save_ivf_centroids(path: str, centroids: np.ndarray) -> None:
+    """Persist the codebook NEXT TO the layout it indexes
+    (``{path}/_ivf_centroids.json``) — probing is a pure function of
+    (layout, centroids), so a codebook living only in driver memory
+    makes the layout unreadable after a restart. The leading underscore
+    keeps the file invisible to Spark's file index (same convention as
+    ``_SUCCESS``), so parquet reads of ``path`` are unaffected. JSON
+    float round-trip is exact for float64 (shortest-repr), so the
+    reloaded codebook is bit-identical and assignments reproduce.
+    Local/posix paths here; an object-store deployment would write the
+    same payload through its catalog (it rides the same commit as the
+    Iceberg table properties)."""
+    import json
+    import os
+
+    C = np.asarray(centroids, dtype=np.float64)
+    payload = {
+        "n_centroids": int(C.shape[0]),
+        "dim": int(C.shape[1]),
+        "centroids": C.tolist(),
+    }
+    tmp = os.path.join(path, f".{_IVF_CENTROID_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(path, _IVF_CENTROID_FILE))
+
+
+def load_ivf_centroids(path: str) -> np.ndarray:
+    """Reload the codebook persisted by :func:`save_ivf_centroids`."""
+    import json
+    import os
+
+    with open(os.path.join(path, _IVF_CENTROID_FILE)) as f:
+        payload = json.load(f)
+    C = np.asarray(payload["centroids"], dtype=np.float64)
+    if C.shape != (payload["n_centroids"], payload["dim"]):
+        raise ValueError(
+            f"corrupt centroid file at {path}: shape {C.shape} != "
+            f"({payload['n_centroids']}, {payload['dim']})"
+        )
+    return C
 
 
 def read_ivf_probe(
-    spark, path: str, centroids: np.ndarray, query: list[float], nprobe: int = 4
+    spark,
+    path: str,
+    centroids: np.ndarray | None,
+    query: list[float],
+    nprobe: int = 4,
 ) -> DataFrame:
     """Read ONLY the ``nprobe`` nearest-centroid partitions of a table
     written by :func:`write_ivf_partitioned`. The ``isin`` filter on the
     partition column becomes a PartitionFilter (plan-asserted in tests)
-    — directories outside the probe set are never listed into the scan."""
+    — directories outside the probe set are never listed into the scan.
+    ``centroids=None`` reloads the codebook persisted with the layout
+    (:func:`load_ivf_centroids`) — the restart-safe posture."""
+    if centroids is None:
+        centroids = load_ivf_centroids(path)
     C = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     d2 = ((C - q[None, :]) ** 2).sum(axis=1)

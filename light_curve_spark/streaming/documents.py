@@ -145,6 +145,7 @@ def run_stream_document_pipeline(
     semantic_threshold: float = 0.95,
     semantic_n_planes: int = 8,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ) -> None:
     """The STREAM-FED document pipeline: every arriving batch of
     documents folds into persistent corpus state —
@@ -202,7 +203,19 @@ def run_stream_document_pipeline(
     draining the whole directory as one batch) carries a new batch id
     and re-appends rows. Reads stay correct either way (``distinct``
     collapses the duplicates), but with per-file batches a full
-    re-delivery is an exact no-op (tested)."""
+    re-delivery is an exact no-op (tested).
+
+    ``compact_every=N`` folds the append-only state to one snapshot per
+    table (:func:`~light_curve_spark.streaming.compact
+    .compact_stream_state`) after every Nth delivery of THIS run — the
+    maintenance cadence a deployment would otherwise schedule manually
+    between drains. It runs at the end of the Nth fold, after that
+    batch's appends committed and before the next micro-batch starts,
+    which is exactly the between-deliveries window compaction requires;
+    a crash before the stream checkpoint re-delivers the batch, whose
+    appends no-op via the batch ids the compacted manifests carry
+    (pytest-gated). The counter is per-run (compaction is idempotent
+    maintenance, not correctness state)."""
     from light_curve_spark.operators.dedup import (
         _content_batch_id,
         _manifest_batch_ids,
@@ -222,6 +235,7 @@ def run_stream_document_pipeline(
     eval_cid = (
         _content_batch_id(eval_docs, text_col) if eval_docs is not None else None
     )
+    delivered = {"n": 0}
 
     def fold(batch_df: DataFrame, _batch_no: int) -> None:
         if batch_df.isEmpty():
@@ -402,6 +416,15 @@ def run_stream_document_pipeline(
                         meta={"batch_id": "__eval__", "eval_id": eval_cid},
                     )
             batch_df.unpersist()
+        # maintenance cadence: outside the cache scope (no live cached
+        # plans referencing snapshot files replace() will expire), after
+        # this delivery's appends committed — the between-deliveries
+        # window compaction requires
+        delivered["n"] += 1
+        if compact_every and delivered["n"] % compact_every == 0:
+            from light_curve_spark.streaming.compact import compact_stream_state
+
+            compact_stream_state(storage, prefix=prefix)
 
     reader = spark.readStream.schema(input_schema)
     if max_files_per_trigger is not None:

@@ -20,13 +20,14 @@ DOC_SCHEMA = StructType(
 )
 
 
-def _stream_deliver(spark, storage, in_dir, ckpt, ev, mfpt=None):
+def _stream_deliver(spark, storage, in_dir, ckpt, ev, mfpt=None,
+                    compact_every=None):
     from light_curve_spark.plans.caching import release_operator_caches
     from light_curve_spark.streaming.documents import run_stream_document_pipeline
 
     run_stream_document_pipeline(
         spark, in_dir + "/*", DOC_SCHEMA, storage, ckpt, eval_docs=ev,
-        max_files_per_trigger=mfpt,
+        max_files_per_trigger=mfpt, compact_every=compact_every,
     )
     release_operator_caches()
 
@@ -549,3 +550,82 @@ def test_legacy_attrs_table_append_and_migration(spark, tmp_path):
     _stream_deliver(spark, st, in_dir, str(tmp_path / "ck"), None)
     status3 = _status_map(st)
     assert status3[300] == "dup" and status3[4] is None
+
+
+def test_stream_pipeline_compact_every(spark, tmp_path):
+    """compact_every=1 keeps every append-only table at ONE snapshot
+    through the run, and the final status equals an uncompacted twin's
+    — in-band compaction is maintenance, never semantics."""
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    docs = spark.createDataFrame(_pipeline_corpus()).filter(
+        F.col("text").isNotNull()
+    )
+    ev = spark.createDataFrame(_eval_corpus())
+    in_a, in_b = str(tmp_path / "ina"), str(tmp_path / "inb")
+    st_a = ParquetSnapshotStorage(spark, str(tmp_path / "sa"))  # compacting
+    st_b = ParquetSnapshotStorage(spark, str(tmp_path / "sb"))  # twin
+
+    for k in range(3):
+        part = docs.filter(F.col("doc_id") % 3 == k).coalesce(1)
+        part.write.parquet(f"{in_a}/b{k}")
+        part.write.parquet(f"{in_b}/b{k}")
+    # one run drains all three files as per-file micro-batches, so the
+    # in-band cadence fires between deliveries WITHIN one stream run
+    _stream_deliver(
+        spark, st_a, in_a, str(tmp_path / "cka"), ev, mfpt=1,
+        compact_every=1,
+    )
+    _stream_deliver(spark, st_b, in_b, str(tmp_path / "ckb"), ev, mfpt=1)
+
+    for t in ("dpx_attrs", "dpx_index", "dpx_contam_matches"):
+        assert len(st_a.snapshots(t)) == 1, t
+        assert len(st_b.snapshots(t)) == 3, t
+    assert _status_map(st_a) == _status_map(st_b)
+
+
+def test_ivf_centroids_persist_with_layout(spark, tmp_path):
+    """The codebook rides with the layout: probe with centroids=None
+    reloads it bit-identically; appending with a different codebook
+    raises (rows would strand in unprobed buckets); append with
+    centroids=None uses the stored codebook; relayout persists the new
+    codebook at the new path."""
+    from light_curve_spark.operators.similarity import (
+        append_ivf_partitioned,
+        load_ivf_centroids,
+        read_ivf_probe,
+        relayout_ivf,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    first = emb.filter(F.col("vec_id") < 200)
+    cents = train_ivf_centroids(first, n_centroids=4)
+    v1 = str(tmp_path / "v1")
+    write_ivf_partitioned(first, cents, v1)
+    assert np.array_equal(load_ivf_centroids(v1), cents)
+
+    q = rows[0][1]
+    with_mem = {r.vec_id for r in read_ivf_probe(spark, v1, cents, q, 2).collect()}
+    with_disk = {r.vec_id for r in read_ivf_probe(spark, v1, None, q, 2).collect()}
+    assert with_mem == with_disk and with_mem
+
+    # mismatched codebook refused; stored codebook accepted
+    tail = emb.filter(F.col("vec_id") >= 200)
+    with pytest.raises(ValueError, match="codebook"):
+        append_ivf_partitioned(tail, cents + 0.5, v1)
+    append_ivf_partitioned(tail, None, v1)
+    assert spark.read.parquet(v1).count() == 300
+
+    v2 = str(tmp_path / "v2")
+    new_cents = relayout_ivf(spark, v1, v2, n_centroids=4)
+    assert np.array_equal(load_ivf_centroids(v2), new_cents)
+    all_ids = {
+        r.vec_id for r in read_ivf_probe(spark, v2, None, q, 4).collect()
+    }
+    assert len(all_ids) == 300
