@@ -116,8 +116,49 @@ def compact_stream_state(
     ``{table: {"snapshots_before": n, "rows": m}}`` for the tables that
     existed. NOT safe concurrently with an in-flight delivery writing
     the same prefix (the replace would race the append) — run it where
-    a real deployment would: between ``availableNow`` drains."""
+    a real deployment would: between ``availableNow`` drains.
+
+    Tombstoned documents (:func:`~light_curve_spark.streaming.documents
+    .tombstone_documents`) are PHYSICALLY ERASED here: every row of an
+    append-only table carrying a tombstoned id (attrs/index rows by
+    ``doc_id``/``_id``, pair tables by either endpoint, contamination
+    matches by ``train_id``) is dropped from the compacted snapshot,
+    and the label forest is rebuilt from the surviving edges — the
+    GDPR-style completion of the read-time delete. Afterwards
+    :func:`read_document_status` finds no tombstoned id in the forest
+    and returns to the fast persisted-forest path; only the tombstone
+    id list itself persists (audit metadata, not document content)."""
     stats: dict[str, dict] = {}
+
+    tomb_table = f"{prefix}_tombstones"
+    tombs = None
+    if storage.exists(tomb_table):
+        t = storage.read(tomb_table).select("doc_id").distinct()
+        # pin the id set before any replace() below expires the
+        # snapshot files a lazy plan would re-read
+        t = t.localCheckpoint(eager=True)
+        if t.limit(1).count() > 0:
+            tombs = t
+
+    def _erase(df: DataFrame) -> DataFrame:
+        """Drop rows carrying a tombstoned id, matching on whichever id
+        columns the table has."""
+        if tombs is None:
+            return df
+        single = [c for c in ("doc_id", "_id", "train_id") if c in df.columns]
+        pair = [
+            c
+            for a, b in (("doc_a", "doc_b"), ("id_a", "id_b"))
+            if a in df.columns
+            for c in (a, b)
+        ]
+        for c in single + pair:
+            df = df.join(
+                F.broadcast(tombs.withColumnRenamed("doc_id", c)),
+                c,
+                "left_anti",
+            )
+        return df
 
     # append-only tables: distinct full rows, batch ids to meta
     for suffix in (
@@ -154,7 +195,7 @@ def compact_stream_state(
         # distinct pre-applies the read-side crash-window normalization
         # (identical re-delivered rows collapse once, here, instead of
         # on every read)
-        df = df.distinct()
+        df = _erase(df).distinct()
         part = ["_pb"] if "_pb" in df.columns else None
         n_rows = df.count()
         storage.replace(
@@ -172,9 +213,50 @@ def compact_stream_state(
             continue
         n_snaps = len(storage.snapshots(table))
         df = storage.read_snapshot(table)
+        if (
+            tombs is not None
+            and df.join(F.broadcast(tombs), "doc_id", "left_semi")
+            .limit(1)
+            .count()
+            > 0
+        ):
+            # a deleted doc sat inside a cluster: the forest cannot say
+            # whether the survivors split, so rebuild it from the
+            # (already erased) edge table — same derivation the
+            # tombstone-aware read uses
+            from light_curve_spark.operators.dedup import dedup_clusters
+
+            pairs_table = f"{prefix}_pairs"
+            if not storage.exists(pairs_table):
+                raise ValueError(
+                    f"{table} contains tombstoned docs but {pairs_table} "
+                    "is missing: the post-delete forest cannot be "
+                    "re-derived (tombstone_documents guards this at "
+                    "write time — this state was mutated out of band)"
+                )
+            edges = (
+                storage.read(pairs_table).select("doc_a", "doc_b").distinct()
+            )
+            if edges.limit(1).count() > 0:
+                df = dedup_clusters(edges)
+            else:
+                df = storage.spark.createDataFrame(
+                    [], "doc_id long, keep_id long"
+                )
         n_rows = df.count()
         storage.replace(df, table, meta={"batch_ids": [], "compacted": True})
         stats[table] = {"snapshots_before": n_snaps, "rows": n_rows}
+
+    # the tombstone ids themselves fold to one snapshot and PERSIST
+    # (erasure audit trail; ids are metadata, not document content)
+    if storage.exists(tomb_table):
+        n_snaps = len(storage.snapshots(tomb_table))
+        tdf = storage.read(tomb_table).select("doc_id").distinct()
+        n_rows = tdf.count()
+        storage.replace(
+            tdf, tomb_table, meta={"batch_ids": [], "compacted": True}
+        )
+        stats[tomb_table] = {"snapshots_before": n_snaps, "rows": n_rows}
     return stats
 
 

@@ -334,12 +334,30 @@ def run_stream_document_pipeline(
                 text_col=text_col, batch_id=cid,
             )
 
-            # 4. one label forest for BOTH dedup kinds
+            # 4. one label forest for BOTH dedup kinds. The folded edge
+            # set is persisted FIRST (round 6): the forest alone cannot
+            # answer a tombstone delete — removing a doc may or may not
+            # split its cluster depending on which EDGES ran through it
+            # — so deletes re-derive clusters from edges-minus-deleted
+            # (read_document_status / compaction). The fold then
+            # consumes the committed rows, so forest and table cannot
+            # drift; a crash between the two re-delivers the batch,
+            # no-ops the append, and re-folds the same rows.
             new_edges = exact_pairs.unionByName(
                 mh_pairs.select("doc_a", "doc_b")
             )
+            if not _present(f"{prefix}_pairs"):
+                storage.append(
+                    new_edges.withColumn("batch_id", F.lit(cid)),
+                    f"{prefix}_pairs",
+                    meta={"batch_id": cid},
+                )
             incremental_dedup_clusters(
-                storage, new_edges, table=f"{prefix}_labels"
+                storage,
+                storage.read(f"{prefix}_pairs")
+                .filter(F.col("batch_id") == cid)
+                .select("doc_a", "doc_b"),
+                table=f"{prefix}_labels",
             )
 
             # 5. semantic pairs vs the persisted embedding index —
@@ -439,6 +457,52 @@ def run_stream_document_pipeline(
     q.awaitTermination()
 
 
+def tombstone_documents(storage, doc_ids, prefix: str = "dpx") -> None:
+    """Delete documents from the stream pipeline's corpus state — the
+    right-to-be-forgotten posture (round 6). Appends the ids to
+    ``{prefix}_tombstones``; from that moment every
+    :func:`read_document_status` answer equals a batch-pipeline run
+    over the corpus WITHOUT those docs (tested): the deleted docs
+    vanish from status, their dup losers are RESTORED when no
+    surviving edge still convicts them, and their contamination
+    carriers stop counting toward gram document frequencies. Physical
+    erasure happens at the next :func:`~light_curve_spark.streaming
+    .compact.compact_stream_state` — attrs/index/pairs/evidence rows
+    carrying a tombstoned id are dropped and the label forest is
+    rebuilt from the surviving edges, after which reads take the
+    fast (persisted-forest) path again. Only the tombstone ids
+    themselves persist (an audit artifact, not document content).
+
+    Deletion correctness needs the FULL edge history (``{prefix}_pairs``
+    — a cluster may or may not split when a member leaves, depending on
+    which edges ran through it), so a state written before the
+    edge-persisting fold refuses tombstones instead of silently
+    answering from an incomplete edge set."""
+    from light_curve_spark.operators.dedup import _manifest_batch_ids
+
+    attrs_ids = _manifest_batch_ids(storage, f"{prefix}_attrs")
+    pairs_ids = (
+        _manifest_batch_ids(storage, f"{prefix}_pairs")
+        if storage.exists(f"{prefix}_pairs")
+        else set()
+    )
+    if attrs_ids is None or pairs_ids is None or (attrs_ids - pairs_ids):
+        raise ValueError(
+            f"{prefix} state predates per-delivery edge persistence "
+            f"({prefix}_pairs does not cover every delivery): cluster "
+            "membership after a delete cannot be re-derived — rebuild "
+            "the state (or compact a fresh run) before tombstoning"
+        )
+    spark = storage.spark
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+    storage.append(
+        doc_ids.select("doc_id").distinct(), f"{prefix}_tombstones"
+    )
+
+
 def read_document_status(
     storage,
     prefix: str = "dpx",
@@ -463,13 +527,56 @@ def read_document_status(
         .select("doc_id", "lang_pred", "quality", "ws_tokens")
         .distinct()
     )
-    losers = (
-        storage.read_snapshot(f"{prefix}_labels")
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id", F.lit("dup").alias("_dup"))
-        if storage.exists(f"{prefix}_labels")
-        else None
-    )
+    tombs = None
+    if storage.exists(f"{prefix}_tombstones"):
+        t = storage.read(f"{prefix}_tombstones").select("doc_id").distinct()
+        if t.limit(1).count() > 0:
+            tombs = t
+    if tombs is not None:
+        attrs = attrs.join(F.broadcast(tombs), "doc_id", "left_anti")
+    losers = None
+    if storage.exists(f"{prefix}_labels"):
+        forest = storage.read_snapshot(f"{prefix}_labels")
+        # a tombstoned doc INSIDE a cluster invalidates the forest: the
+        # remaining members may split (edges ran through the deleted
+        # doc) or stay merged (direct edges) — only the persisted edge
+        # set can say, so re-derive clusters from edges-minus-deleted.
+        # Untouched forests (deleted docs were never clustered, or
+        # compaction already erased + rebuilt) keep the fast path.
+        affected = tombs is not None and (
+            forest.join(F.broadcast(tombs), "doc_id", "left_semi")
+            .limit(1)
+            .count()
+            > 0
+        )
+        if affected:
+            from light_curve_spark.operators.dedup import dedup_clusters
+
+            edges = (
+                storage.read(f"{prefix}_pairs")
+                .select("doc_a", "doc_b")
+                .distinct()
+                .join(
+                    F.broadcast(tombs.withColumnRenamed("doc_id", "doc_a")),
+                    "doc_a",
+                    "left_anti",
+                )
+                .join(
+                    F.broadcast(tombs.withColumnRenamed("doc_id", "doc_b")),
+                    "doc_b",
+                    "left_anti",
+                )
+            )
+            if edges.limit(1).count() > 0:
+                losers = (
+                    dedup_clusters(edges)
+                    .filter(F.col("doc_id") != F.col("keep_id"))
+                    .select("doc_id", F.lit("dup").alias("_dup"))
+                )
+        else:
+            losers = forest.filter(
+                F.col("doc_id") != F.col("keep_id")
+            ).select("doc_id", F.lit("dup").alias("_dup"))
     sem_losers = None
     if storage.exists(f"{prefix}_sem_pairs"):
         # batch-pipeline semantics: cluster semantic pairs among CURRENT
@@ -484,6 +591,16 @@ def read_document_status(
             .select("doc_a", "doc_b")
             .distinct()
         )
+        if tombs is not None:
+            sp = sp.join(
+                F.broadcast(tombs.withColumnRenamed("doc_id", "doc_a")),
+                "doc_a",
+                "left_anti",
+            ).join(
+                F.broadcast(tombs.withColumnRenamed("doc_id", "doc_b")),
+                "doc_b",
+                "left_anti",
+            )
         if losers is not None:
             txt = losers.select("doc_id")
             sp = sp.join(
@@ -516,6 +633,15 @@ def read_document_status(
             .select("train_id", "eval_id", "gram")
             .distinct()  # crash-window re-deliveries collapse here
         )
+        if tombs is not None:
+            # deleted docs neither count as contaminated nor as gram
+            # carriers (their df contribution disappears, exactly as a
+            # batch run on the reduced corpus would see it)
+            matches = matches.join(
+                F.broadcast(tombs.withColumnRenamed("doc_id", "train_id")),
+                "train_id",
+                "left_anti",
+            )
         dropped = []
         if losers is not None:
             dropped.append(losers.select("doc_id"))

@@ -629,3 +629,136 @@ def test_ivf_centroids_persist_with_layout(spark, tmp_path):
         r.vec_id for r in read_ivf_probe(spark, v2, None, q, 4).collect()
     }
     assert len(all_ids) == 300
+
+
+def test_tombstone_documents_matches_batch_on_reduced_corpus(
+    spark, tmp_path
+):
+    """Right-to-be-forgotten deletes: after tombstoning, status equals
+    a BATCH pipeline run over the corpus without the deleted docs —
+    dup losers of a deleted winner are restored, and deleting
+    contamination carriers retroactively flips hot grams back under
+    max_df. Compaction then physically erases the rows, status
+    unchanged, and the read returns to the persisted-forest fast
+    path."""
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.plans.doc_pipeline import (
+        DocPipelineConfig,
+        run_document_pipeline,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.compact import compact_stream_state
+    from light_curve_spark.streaming.documents import (
+        read_document_status,
+        tombstone_documents,
+    )
+
+    shingle = "tsq0 tsq1 tsq2 tsq3 tsq4"
+    rows = []
+    # 25 unique shingle carriers: survivor df 25 > max_df=20 -> grams
+    # hot -> NO contamination until 10 carriers are deleted (df 15)
+    for i in range(25):
+        rows.append((i, f"{shingle} uniq{i}_a uniq{i}_b uniq{i}_c"))
+    # exact-dup cluster 100..104 (winner 100)
+    for j in range(5):
+        rows.append((100 + j, "five identical copies of this text body"))
+    for k in range(40):
+        rows.append((500 + k, f"tbg{k}_a tbg{k}_b tbg{k}_c tbg{k}_d"))
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    ev = spark.createDataFrame(
+        [(9001, shingle + " tsq5 tsq6")], "doc_id long, text string"
+    )
+    dead = [100, 505] + list(range(15, 25))
+
+    def _batch_status(sub, root):
+        cfg = DocPipelineConfig(
+            out_root=str(tmp_path / root), input_snapshot="v1",
+            contamination_min_shared=2, contamination_max_df=20,
+        )
+        run_document_pipeline(spark, sub, cfg, eval_docs=ev)
+        st = ParquetSnapshotStorage(spark, cfg.out_root)
+        out = {
+            r.doc_id: r.drop_stage
+            for r in st.read("dp_doc_status").collect()
+        }
+        release_operator_caches()
+        return out
+
+    def _stream_status(st):
+        return {
+            r.doc_id: r.drop_stage
+            for r in read_document_status(
+                st, contamination_max_df=20, contamination_min_shared=2
+            ).collect()
+        }
+
+    in_dir = str(tmp_path / "in")
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "s"))
+    for part in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == part).coalesce(1).write.parquet(
+            f"{in_dir}/b{part}"
+        )
+        _stream_deliver(spark, st, in_dir, str(tmp_path / "ck"), ev)
+
+    full_batch = _batch_status(docs, "bfull")
+    got = _stream_status(st)
+    assert {d for d, s in got.items() if s is None} == {
+        d for d, s in full_batch.items() if s is None
+    }
+    assert got[101] == "dup" and got[0] is None  # grams hot: no contam
+
+    tombstone_documents(st, dead, prefix="dpx")
+    reduced = docs.filter(~F.col("doc_id").isin(dead))
+    red_batch = _batch_status(reduced, "bred")
+    got2 = _stream_status(st)
+    assert set(got2) == set(red_batch)  # deleted docs vanish entirely
+    assert {d for d, s in got2.items() if s is None} == {
+        d for d, s in red_batch.items() if s is None
+    }
+    assert got2[101] is None  # restored: new winner of the cluster
+    assert got2[102] == "dup"  # still convicted by surviving edges
+    assert got2[0] == "contamination"  # df 15 <= 20: grams now live
+
+    # physical erasure at compaction; status unchanged; fast path back
+    compact_stream_state(st, prefix="dpx")
+    assert _stream_status(st) == got2
+    for t in ("dpx_attrs", "dpx_index", "dpx_pairs", "dpx_contam_matches"):
+        cols = st.read(t).columns
+        for c in ("doc_id", "train_id", "doc_a", "doc_b"):
+            if c in cols:
+                assert (
+                    st.read(t).filter(F.col(c).isin(dead)).count() == 0
+                ), (t, c)
+    forest = st.read_snapshot("dpx_labels")
+    assert forest.filter(F.col("doc_id").isin(dead)).count() == 0
+    assert forest.filter(F.col("keep_id").isin(dead)).count() == 0
+
+    # post-erasure delivery: an exact copy of the restored winner's
+    # text arrives and loses to it
+    spark.createDataFrame(
+        [(900, "five identical copies of this text body")], DOC_SCHEMA
+    ).coalesce(1).write.parquet(f"{in_dir}/b2")
+    _stream_deliver(spark, st, in_dir, str(tmp_path / "ck"), ev)
+    got3 = _stream_status(st)
+    assert got3[900] == "dup" and got3[101] is None
+
+
+def test_tombstone_refuses_incomplete_edge_history(spark, tmp_path):
+    """A state whose deliveries predate per-delivery edge persistence
+    cannot answer deletes — refuse instead of silently re-deriving
+    clusters from a partial edge set."""
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.documents import tombstone_documents
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    st.append(
+        spark.createDataFrame(
+            [(1, "en", 0.5, 4, "b1")],
+            "doc_id long, lang_pred string, quality double, "
+            "ws_tokens long, batch_id string",
+        ),
+        "dpx_attrs",
+        meta={"batch_id": "b1"},
+    )
+    with pytest.raises(ValueError, match="edge persistence"):
+        tombstone_documents(st, [1], prefix="dpx")
