@@ -762,3 +762,121 @@ def test_tombstone_refuses_incomplete_edge_history(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="edge persistence"):
         tombstone_documents(st, [1], prefix="dpx")
+
+
+def test_tombstone_semantic_winner_restores_partner(spark, tmp_path):
+    """Tombstoning one side of a SEMANTIC dup pair restores the other
+    (no surviving pair convicts it), equals the batch pipeline on the
+    reduced corpus, and compaction erases the doc from the semantic
+    index/pairs tables too."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.plans.doc_pipeline import (
+        DocPipelineConfig,
+        run_document_pipeline,
+    )
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.compact import compact_stream_state
+    from light_curve_spark.streaming.documents import (
+        read_document_status,
+        tombstone_documents,
+    )
+
+    docs_pd = _pipeline_corpus()
+    docs_pd = docs_pd[docs_pd["text"].notna()]
+    rng = np.random.RandomState(11)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).astype("float32").tolist()
+
+    base = rng.randn(12)
+    emb_map = {
+        int(i): unit(base + 0.001 * rng.randn(12))
+        if i in (5, 6)
+        else unit(rng.randn(12))
+        for i in docs_pd["doc_id"]
+    }
+    rows = [
+        (int(i), t, emb_map[int(i)])
+        for i, t in zip(docs_pd["doc_id"], docs_pd["text"])
+    ]
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+            StructField("embedding", ArrayType(FloatType(), True), True),
+        ]
+    )
+    docs = spark.createDataFrame(rows, schema)
+    ev = spark.createDataFrame(_eval_corpus())
+
+    in_dir = str(tmp_path / "in")
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "stream"))
+    from light_curve_spark.streaming.documents import (
+        run_stream_document_pipeline,
+    )
+
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            f"{in_dir}/b{i}"
+        )
+        run_stream_document_pipeline(
+            spark, in_dir + "/*", schema, st, str(tmp_path / "ck"),
+            eval_docs=ev, embeddings_col="embedding",
+            semantic_threshold=0.98, semantic_n_planes=6,
+        )
+        release_operator_caches()
+    pre = {
+        r.doc_id: r.drop_stage
+        for r in read_document_status(st, min_quality=0.05).collect()
+    }
+    assert pre[6] == "semantic" and pre[5] is None
+
+    tombstone_documents(st, [5], prefix="dpx")
+    cfg = DocPipelineConfig(
+        out_root=str(tmp_path / "bred"), input_snapshot="v1",
+        min_quality=0.05, contamination_min_shared=2,
+        semantic_threshold=0.98, semantic_n_planes=6,
+    )
+    reduced = docs.filter(F.col("doc_id") != 5)
+    run_document_pipeline(
+        spark, reduced.select("doc_id", "text"), cfg, eval_docs=ev,
+        doc_embeddings=reduced.select("doc_id", "embedding"),
+    )
+    st_b = ParquetSnapshotStorage(spark, cfg.out_root)
+    red_status = {
+        r.doc_id: r.drop_stage
+        for r in st_b.read("dp_doc_status").collect()
+    }
+    release_operator_caches()
+    got = {
+        r.doc_id: r.drop_stage
+        for r in read_document_status(st, min_quality=0.05).collect()
+    }
+    assert got[6] is None  # restored: its only semantic partner is gone
+    assert {d for d, s in got.items() if s is None} == {
+        d for d, s in red_status.items() if s is None
+    }
+
+    compact_stream_state(st, prefix="dpx")
+    assert {
+        r.doc_id: r.drop_stage
+        for r in read_document_status(st, min_quality=0.05).collect()
+    } == got
+    for t in ("dpx_sem_pairs",):
+        assert (
+            st.read(t)
+            .filter((F.col("doc_a") == 5) | (F.col("doc_b") == 5))
+            .count()
+            == 0
+        )
+    assert st.read("dpx_sem_index").filter(F.col("_id") == 5).count() == 0
