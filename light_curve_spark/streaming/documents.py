@@ -480,6 +480,12 @@ def tombstone_documents(storage, doc_ids, prefix: str = "dpx") -> None:
     answering from an incomplete edge set."""
     from light_curve_spark.operators.dedup import _manifest_batch_ids
 
+    if not storage.exists(f"{prefix}_attrs"):
+        raise ValueError(
+            f"no document-pipeline state under prefix {prefix!r} "
+            f"({prefix}_attrs missing) — tombstones apply to "
+            "run_stream_document_pipeline state"
+        )
     attrs_ids = _manifest_batch_ids(storage, f"{prefix}_attrs")
     pairs_ids = (
         _manifest_batch_ids(storage, f"{prefix}_pairs")

@@ -211,6 +211,78 @@ def main() -> None:
     mat_read_s = time.time() - t4
     release_operator_caches()
 
+    # ---- round-6: tombstone deletes at stress scale ---------------------
+    # delete every 97th doc (~1%): hits dup winners AND losers,
+    # contamination carriers, and background docs. Status with
+    # tombstones must equal a batch run on the reduced corpus; then
+    # compaction must physically erase every trace and hand reads back
+    # to the fast persisted-forest path.
+    from light_curve_spark.streaming.documents import tombstone_documents
+
+    dead_df = docs.select("doc_id").filter(F.col("doc_id") % 97 == 0)
+    n_dead = dead_df.count()
+    t5 = time.time()
+    tombstone_documents(storage, dead_df, prefix="dpx")
+    tomb_append_s = time.time() - t5
+    t6 = time.time()
+    tomb_kept = {
+        r.doc_id
+        for r in read_document_status(storage, min_quality=0.05)
+        .filter(F.col("drop_stage").isNull())
+        .select("doc_id")
+        .collect()
+    }
+    tomb_read_s = time.time() - t6  # re-derivation path (forest dirty)
+    release_operator_caches()
+
+    cfg2 = DocPipelineConfig(
+        out_root=os.path.join(root, "batch_reduced"),
+        input_snapshot="stress-v2",
+        min_quality=0.05,
+        contamination_min_shared=2,
+    )
+    t7 = time.time()
+    run_document_pipeline(
+        spark, docs.join(dead_df, "doc_id", "left_anti"), cfg2,
+        eval_docs=eval_docs,
+    )
+    batch_reduced_s = time.time() - t7
+    st_r = ParquetSnapshotStorage(spark, cfg2.out_root)
+    reduced_kept = {
+        r.doc_id
+        for r in st_r.read("dp_doc_status")
+        .filter(F.col("drop_stage").isNull())
+        .select("doc_id")
+        .collect()
+    }
+    release_operator_caches()
+
+    t8 = time.time()
+    compact_stream_state(storage, prefix="dpx")
+    erase_s = time.time() - t8
+    erase_read_s = _read_wall()  # fast path again (forest rebuilt clean)
+    leftovers = 0
+    for tbl in ("dpx_attrs", "dpx_index", "dpx_pairs", "dpx_contam_matches"):
+        df = storage.read(tbl)
+        for c in ("doc_id", "train_id", "doc_a", "doc_b"):
+            if c in df.columns:
+                leftovers += df.join(
+                    dead_df.withColumnRenamed("doc_id", c), c, "left_semi"
+                ).count()
+    forest = storage.read_snapshot("dpx_labels")
+    leftovers += forest.join(dead_df, "doc_id", "left_semi").count()
+    leftovers += forest.join(
+        dead_df.withColumnRenamed("doc_id", "keep_id"), "keep_id", "left_semi"
+    ).count()
+    erased_kept = {
+        r.doc_id
+        for r in read_document_status(storage, min_quality=0.05)
+        .filter(F.col("drop_stage").isNull())
+        .select("doc_id")
+        .collect()
+    }
+    release_operator_caches()
+
     res = {
         "n_docs": n_docs,
         "cpus": cpus,
@@ -235,6 +307,15 @@ def main() -> None:
         "materialize_status_s": round(mat_s, 1),
         "materialized_status_read_s": round(mat_read_s, 2),
         "n_kept_materialized": n_mat,
+        "n_tombstoned": n_dead,
+        "tombstone_append_s": round(tomb_append_s, 1),
+        "status_read_s_tombstone_rederive": round(tomb_read_s, 2),
+        "batch_reduced_s": round(batch_reduced_s, 1),
+        "tombstone_kept_equal_batch_reduced": tomb_kept == reduced_kept,
+        "erase_compact_s": round(erase_s, 1),
+        "status_read_s_post_erase": round(erase_read_s, 2),
+        "erased_rows_remaining": leftovers,
+        "kept_equal_post_erase": erased_kept == tomb_kept,
     }
     print(json.dumps(res))
     if stream_kept != batch_kept:
@@ -244,6 +325,15 @@ def main() -> None:
         sys.exit(1)
     if compact_kept != stream_kept or n_mat != len(stream_kept):
         print("COMPACTION DIVERGENCE")
+        sys.exit(1)
+    if tomb_kept != reduced_kept:
+        only_s = sorted(tomb_kept - reduced_kept)[:10]
+        only_b = sorted(reduced_kept - tomb_kept)[:10]
+        print("TOMBSTONE DIVERGENCE stream-only:", only_s,
+              "batch-only:", only_b)
+        sys.exit(1)
+    if leftovers or erased_kept != tomb_kept:
+        print("ERASURE DIVERGENCE leftovers:", leftovers)
         sys.exit(1)
 
 
