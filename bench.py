@@ -131,9 +131,17 @@ def main() -> None:
     from light_curve_spark.plans.caching import release_operator_caches
 
     queries = entrymod.queries()
+
+    def _q(name: str):
+        # queries retired from the 50-entry driver registry (round 6:
+        # dmdt_events_kernel, cosine_topk_embeddings_kernel) keep their
+        # q_ functions — resolving those keeps the benched workload
+        # byte-identical round over round
+        return queries.get(name) or getattr(entrymod, f"q_{name}")
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
+        fn = _q(name)
         # fresh operator caches per query; min-of-3 with a fresh plan per
         # rep: the first rep eats JVM/Arrow/page-fault warm-up (r1 verdict:
         # rollup_tiers carried ~2x of it) and this host's intermittent CPU
@@ -144,7 +152,7 @@ def main() -> None:
 
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
-        fn = queries[name]
+        fn = _q(name)
         release_operator_caches()
         extra_timings[name] = _timed_min(
             lambda: _run(fn(spark, sf_dir)), reps=3, name=name
