@@ -353,7 +353,16 @@ def incremental_embedding_pairs(
     config (n_planes/seed/n_tables/dim) is stamped into every snapshot's
     manifest meta and validated on each call — a call with different
     planes would silently bucket into an incompatible key space and
-    miss duplicates forever (round-5 ADVICE)."""
+    miss duplicates forever (round-5 ADVICE).
+
+    Deletes: ids appended to ``{prefix}_tombstones`` (see
+    :func:`tombstone_vectors`) are excluded from BOTH join sides from
+    the next call on — returned pairs never involve a deleted id, and
+    the union-over-batches contract holds against the corpus WITHOUT
+    those vectors. The index rows are erased physically at
+    :func:`~light_curve_spark.streaming.compact.compact_stream_state`
+    (its ``_id`` match covers this table), same posture as the document
+    tables."""
     from light_curve_spark.operators.dedup import (
         _check_index_config,
         _content_batch_id,
@@ -386,6 +395,20 @@ def incremental_embedding_pairs(
         "dim": dim,
         "index_partitions": index_partitions,
     }
+
+    tombs = None
+    if storage.exists(f"{prefix}_tombstones"):
+        tombs = storage.read(f"{prefix}_tombstones").select("doc_id").distinct()
+        # tombstoned ids have left the corpus: drop them from the
+        # arriving batch before the fold (the index must not regrow a
+        # deleted vector) — but AFTER the content batch id above, so a
+        # batch's identity, and with it re-delivery idempotency, never
+        # depends on when a delete landed relative to the delivery
+        new_emb = new_emb.join(
+            F.broadcast(tombs.withColumnRenamed("doc_id", id_col)),
+            id_col,
+            "left_anti",
+        )
 
     with cache_scope() as keep_cached:
         keyed = cached(
@@ -424,6 +447,15 @@ def incremental_embedding_pairs(
                     if already_folded
                     else idx
                 )
+                if tombs is not None:
+                    # read-time delete on the stored side: physical
+                    # erasure happens at compact_stream_state, exactly
+                    # like the document tables
+                    old = old.join(
+                        F.broadcast(tombs.withColumnRenamed("doc_id", "_id")),
+                        "_id",
+                        "left_anti",
+                    )
 
         def _cos(a, b):
             dot = F.aggregate(
@@ -517,6 +549,50 @@ def incremental_embedding_pairs(
                     meta={"batch_id": batch_id, **config},
                 )
     return pairs
+
+
+def tombstone_vectors(storage, ids, prefix: str = "emb") -> None:
+    """Delete vectors from a persisted incremental embedding index — the
+    right-to-be-forgotten posture for the semantic-dedup state (round 6,
+    the vector twin of :func:`~light_curve_spark.streaming.documents
+    .tombstone_documents`). Appends the ids to ``{prefix}_tombstones``;
+    from the next :func:`incremental_embedding_pairs` call on, deleted
+    ids appear on neither join side (stored rows are anti-joined out,
+    and a re-delivered batch containing a deleted id folds without it),
+    so every answer equals a run over the corpus minus the deleted
+    vectors. Physical erasure of the index rows happens at the next
+    :func:`~light_curve_spark.streaming.compact.compact_stream_state`
+    over the same prefix; only the id list itself persists (an erasure
+    audit trail — ids are metadata, not vector content).
+
+    Unlike document tombstones there is no edge-history precondition:
+    pair sets are recomputed per call from the index, never persisted
+    by this operator, so nothing downstream has to be re-derived.
+
+    ``ids`` is a DataFrame (first column taken) or an iterable; the
+    stored column is named ``doc_id`` in the id column's own type, so
+    the anti-joins (and compaction's erase match) line up with the
+    index's ``_id`` type for long and string ids alike."""
+    if not storage.exists(f"{prefix}_index"):
+        raise ValueError(
+            f"no embedding index under prefix {prefix!r} "
+            f"({prefix}_index missing) — tombstone_vectors applies to "
+            "incremental_embedding_pairs state"
+        )
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).alias("doc_id")).distinct()
+    else:
+        vals = list(ids)
+        if all(isinstance(v, (int, np.integer)) for v in vals):
+            df = storage.spark.createDataFrame(
+                [(int(v),) for v in vals], "doc_id long"
+            )
+        else:
+            df = storage.spark.createDataFrame(
+                [(str(v),) for v in vals], "doc_id string"
+            )
+        df = df.distinct()
+    storage.append(df, f"{prefix}_tombstones")
 
 
 def train_ivf_centroids(
@@ -654,6 +730,13 @@ def append_ivf_partitioned(
                 "relayout_ivf to retrain"
             )
     assigned = ivf_assign(emb_new, centroids, vec_col=vec_col)
+    tombs = _ivf_tombstones(emb_new.sparkSession, path)
+    if tombs is not None:
+        # a deleted id stays deleted: appending it again must not
+        # resurface it through the probe's anti-join going stale
+        assigned = assigned.join(
+            F.broadcast(tombs), tombs.columns[0], "left_anti"
+        )
     if shuffle_partitions:
         assigned = assigned.repartition(shuffle_partitions, F.col("_bucket"))
     assigned.write.mode("append").partitionBy("_bucket").parquet(path)
@@ -743,10 +826,21 @@ def relayout_ivf(
     trainer's first-``sample_size``-by-id rule here would resample the
     ORIGINAL distribution (low ids = training-time arrivals) and learn
     nothing from the drifted tail, which is the entire point of the
-    rewrite. Content is preserved row-for-row and probe results over the
-    new layout match exact search (pytest-gated on the displaced-batch
-    corpus from the round-5 stress)."""
+    rewrite. Content is preserved row-for-row — minus any ids deleted
+    via :func:`tombstone_ivf`, whose rows are physically erased here —
+    and probe results over the new layout match exact search
+    (pytest-gated on the displaced-batch corpus from the round-5
+    stress)."""
+    import os
+
     tbl = spark.read.parquet(path).drop("_bucket")
+    tombs = _ivf_tombstones(spark, path)
+    if tombs is not None:
+        # the rewrite is the physical-erasure point for tombstone_ivf:
+        # deleted rows leave the table (and the retraining sample —
+        # learning the codebook from deleted vectors would shape the
+        # new layout around data that no longer exists)
+        tbl = tbl.join(F.broadcast(tombs), tombs.columns[0], "left_anti")
     sample = (
         tbl.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
@@ -767,6 +861,13 @@ def relayout_ivf(
         tbl, cents, new_path, vec_col=vec_col,
         shuffle_partitions=shuffle_partitions,
     )
+    if tombs is not None:
+        # the folded id list rides to the new layout as the erasure
+        # audit trail — and keeps a later re-append of a deleted id
+        # excluded there too (deletes are permanent, as for documents)
+        tombs.write.mode("append").parquet(
+            os.path.join(new_path, _IVF_TOMBSTONE_DIR)
+        )
     return cents
 
 
@@ -864,6 +965,57 @@ def write_ivf_partitioned(
 
 
 _IVF_CENTROID_FILE = "_ivf_centroids.json"
+_IVF_TOMBSTONE_DIR = "_ivf_tombstones"
+
+
+def tombstone_ivf(spark, path: str, ids, id_col: str = "vec_id") -> None:
+    """Delete vectors from an IVF-partitioned ANN layout. Appends the
+    ids as parquet under ``{path}/_ivf_tombstones`` — the leading
+    underscore keeps the directory invisible to Spark's file index
+    (same convention as ``_ivf_centroids.json``), so plain parquet
+    reads of the layout are unaffected and the delete rides next to
+    the data it masks. From that moment :func:`read_ivf_probe` answers
+    equal a probe over the layout without those rows, and
+    :func:`append_ivf_partitioned` refuses to resurrect a deleted id.
+    Physical erasure happens at the next :func:`relayout_ivf` (the
+    layout's designated rewrite point): tombstoned rows are dropped
+    from the rewritten table and excluded from the retraining sample,
+    while the id list is carried to the new layout as the erasure
+    audit trail (ids are metadata, not vector content).
+
+    ``ids`` is a DataFrame (first column taken) or an iterable; the
+    stored column is named ``id_col`` so the probe-side anti-join
+    binds to the layout's own id column."""
+    import os
+
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"no IVF layout at {path!r} — tombstone_ivf applies to "
+            "write_ivf_partitioned layouts"
+        )
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    else:
+        vals = list(ids)
+        if all(isinstance(v, (int, np.integer)) for v in vals):
+            df = spark.createDataFrame([(int(v),) for v in vals], f"{id_col} long")
+        else:
+            df = spark.createDataFrame(
+                [(str(v),) for v in vals], f"{id_col} string"
+            )
+        df = df.distinct()
+    df.write.mode("append").parquet(os.path.join(path, _IVF_TOMBSTONE_DIR))
+
+
+def _ivf_tombstones(spark, path: str) -> DataFrame | None:
+    """The layout's deleted-id set (distinct, one column named by the
+    ``tombstone_ivf`` caller), or None when no delete ever landed."""
+    import os
+
+    tdir = os.path.join(path, _IVF_TOMBSTONE_DIR)
+    if not os.path.isdir(tdir):
+        return None
+    return spark.read.parquet(tdir).distinct()
 
 
 def save_ivf_centroids(path: str, centroids: np.ndarray) -> None:
@@ -928,4 +1080,10 @@ def read_ivf_probe(
     q = np.asarray(query, dtype=np.float64)
     d2 = ((C - q[None, :]) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
-    return spark.read.parquet(path).filter(F.col("_bucket").isin(probe))
+    out = spark.read.parquet(path).filter(F.col("_bucket").isin(probe))
+    tombs = _ivf_tombstones(spark, path)
+    if tombs is not None:
+        # read-time delete (tombstone_ivf); rows are physically dropped
+        # at relayout_ivf — a broadcast anti-join on the pruned scan
+        out = out.join(F.broadcast(tombs), tombs.columns[0], "left_anti")
+    return out

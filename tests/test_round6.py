@@ -880,3 +880,196 @@ def test_tombstone_semantic_winner_restores_partner(spark, tmp_path):
             == 0
         )
     assert st.read("dpx_sem_index").filter(F.col("_id") == 5).count() == 0
+
+
+def _planted_embeddings(rng, ids, dups=()):
+    """(id, vector) rows: unit-ish gaussians, plus planted near-dups
+    ``(new_id, of_id)`` = of_id's vector + tiny noise (cosine > 0.99)."""
+    base = {i: rng.normal(size=8) for i in ids}
+    for new_id, of_id in dups:
+        base[new_id] = base[of_id] + rng.normal(size=8) * 0.005
+    return {i: [float(x) for x in v] for i, v in base.items()}
+
+
+def _emb_df(spark, vecs, ids):
+    return spark.createDataFrame(
+        [(i, vecs[i]) for i in ids], "doc_id long, embedding array<double>"
+    )
+
+
+def test_tombstone_vectors_reduced_corpus_equivalence(spark, tmp_path):
+    """Round 6: ids deleted via tombstone_vectors vanish from both join
+    sides of incremental_embedding_pairs — post-delete deliveries equal
+    the one-shot LSH run on the corpus WITHOUT the deleted vectors, a
+    re-delivered batch folds without regrowing them, and deletes refuse
+    a prefix with no index."""
+    from light_curve_spark.operators.similarity import (
+        embedding_cosine_pairs_lsh,
+        incremental_embedding_pairs,
+        tombstone_vectors,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    rng = np.random.default_rng(7)
+    # batches: b1 = 0..19, b2 = 20..39, b3 = 40..49; planted near-dups
+    # reach across the tombstone line: 25~3 (3 deleted -> must NOT
+    # pair), 30~5 and 45~22 (survivors -> must pair), 33~31 (in-batch)
+    vecs = _planted_embeddings(
+        rng, range(50), dups=((25, 3), (30, 5), (45, 22), (33, 31))
+    )
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+
+    with pytest.raises(ValueError, match="no embedding index"):
+        tombstone_vectors(st, [3], prefix="tv")
+
+    def feed(ids):
+        out = incremental_embedding_pairs(
+            st, _emb_df(spark, vecs, ids), prefix="tv",
+            threshold=0.98, n_tables=2,
+        )
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        release_operator_caches()
+        return got
+
+    p1 = feed(range(20))
+    tombstone_vectors(st, [3, 11], prefix="tv")
+    p2 = feed(range(20, 40))
+    p3 = feed(range(40, 50))
+
+    survivors = [i for i in range(50) if i not in (3, 11)]
+    one_shot = embedding_cosine_pairs_lsh(
+        _emb_df(spark, vecs, survivors), threshold=0.98,
+        id_col="doc_id", n_tables=2,
+    )
+    late = {
+        (r.id_a, r.id_b)
+        for r in one_shot.collect()
+        if r.id_a >= 20 or r.id_b >= 20
+    }
+    assert p2 | p3 == late
+    assert (3, 25) not in p2 | p3 and (5, 30) in p2
+    assert all(3 not in p and 11 not in p for p in p2 | p3)
+
+    # re-delivery of b1 after the delete: index no-op (no new snapshot,
+    # no regrown rows) and the recomputed pairs exclude deleted ids
+    n_snaps = len(st.snapshots("tv_index"))
+    p1_again = feed(range(20))
+    assert len(st.snapshots("tv_index")) == n_snaps
+    assert all(3 not in p and 11 not in p for p in p1_again)
+    # recomputed against the NOW-larger index: b1's surviving pairs plus
+    # any survivor pair reaching into later batches, never a deleted id
+    assert p1_again >= {p for p in p1 if 3 not in p and 11 not in p}
+    assert all(p[0] < 20 or p[1] < 20 for p in p1_again)
+    assert st.read("tv_index").filter(F.col("_id").isin(3, 11)).count() > 0
+
+
+def test_tombstone_vectors_compaction_erases(spark, tmp_path):
+    """compact_stream_state over an embedding-index prefix physically
+    drops tombstoned rows, keeps the config guard working, and later
+    deliveries still answer from the reduced corpus."""
+    from light_curve_spark.operators.similarity import (
+        incremental_embedding_pairs,
+        tombstone_vectors,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.compact import compact_stream_state
+
+    rng = np.random.default_rng(9)
+    vecs = _planted_embeddings(rng, range(30), dups=((21, 2), (24, 6)))
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    incremental_embedding_pairs(
+        st, _emb_df(spark, vecs, range(20)), prefix="tc", threshold=0.98
+    ).collect()
+    release_operator_caches()
+    tombstone_vectors(st, [2], prefix="tc")
+
+    stats = compact_stream_state(st, prefix="tc")
+    assert stats["tc_index"]["snapshots_before"] == 1
+    idx = st.read("tc_index")
+    assert idx.filter(F.col("_id") == 2).count() == 0
+    assert idx.filter(F.col("_id") == 6).count() > 0
+    # idempotency probe survives compaction: re-delivery is a no-op
+    n_snaps = len(st.snapshots("tc_index"))
+    incremental_embedding_pairs(
+        st, _emb_df(spark, vecs, range(20)), prefix="tc", threshold=0.98
+    ).collect()
+    release_operator_caches()
+    assert len(st.snapshots("tc_index")) == n_snaps
+    # config guard survives compaction
+    with pytest.raises(ValueError, match="different config"):
+        incremental_embedding_pairs(
+            st, _emb_df(spark, vecs, range(20)), prefix="tc",
+            threshold=0.98, n_planes=6,
+        )
+    release_operator_caches()
+    # a post-compaction delivery pairs against survivors only: 21~2 is
+    # gone with 2, 24~6 still resolves
+    out = incremental_embedding_pairs(
+        st, _emb_df(spark, vecs, range(20, 30)), prefix="tc", threshold=0.98
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    release_operator_caches()
+    assert (6, 24) in got and all(2 not in p for p in got)
+    # the audit list persists
+    assert st.read("tc_tombstones").count() == 1
+
+
+def test_tombstone_ivf_probe_append_relayout(spark, tmp_path):
+    """IVF layout deletes: probe answers equal the reduced corpus, an
+    append cannot resurrect a deleted id, and relayout_ivf is the
+    physical-erasure point (rows gone from the raw parquet, audit list
+    carried to the new layout)."""
+    from light_curve_spark.operators.similarity import (
+        append_ivf_partitioned,
+        cosine_topk,
+        read_ivf_probe,
+        relayout_ivf,
+        tombstone_ivf,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = _planted_embeddings(rng, range(60), dups=((41, 7),))
+    emb = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(60)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf")
+    cents = train_ivf_centroids(emb, n_centroids=4, id_col="vec_id")
+    write_ivf_partitioned(emb, cents, path)
+
+    query = vecs[7]
+    tombstone_ivf(spark, path, [7, 12])
+
+    probed = read_ivf_probe(spark, path, None, query, nprobe=4)
+    got = [r.vec_id for r in cosine_topk(probed, query, k=5).collect()]
+    reduced = emb.filter(~F.col("vec_id").isin(7, 12))
+    want = [r.vec_id for r in cosine_topk(reduced, query, k=5).collect()]
+    assert got == want and 7 not in got and got[0] == 41
+
+    # appending a deleted id again must not resurface it
+    again = spark.createDataFrame(
+        [(7, vecs[7]), (100, vecs[22])], "vec_id long, embedding array<double>"
+    )
+    append_ivf_partitioned(again, None, path)
+    after = read_ivf_probe(spark, path, None, query, nprobe=4)
+    ids_after = {r.vec_id for r in after.collect()}
+    assert 7 not in ids_after and 100 in ids_after
+
+    # relayout erases physically and carries the audit list
+    new_path = str(tmp_path / "ivf2")
+    relayout_ivf(spark, path, new_path, n_centroids=4, id_col="vec_id")
+    raw = spark.read.parquet(new_path)
+    assert raw.filter(F.col("vec_id").isin(7, 12)).count() == 0
+    assert raw.count() == 59  # 60 - 2 deleted + 1 appended (id 100)
+    append_ivf_partitioned(
+        spark.createDataFrame(
+            [(12, vecs[12])], "vec_id long, embedding array<double>"
+        ),
+        None,
+        new_path,
+    )
+    final = read_ivf_probe(spark, new_path, None, query, nprobe=4)
+    assert 12 not in {r.vec_id for r in final.collect()}
