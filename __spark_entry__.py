@@ -788,6 +788,43 @@ def q_ivf_relayout_embeddings(spark, sf_dir):
     return out.select("vec_id", _r6("cosine").alias("cosine"))
 
 
+def q_ivf_tombstone_embeddings(spark, sf_dir):
+    """Right-to-be-forgotten lifecycle on the IVF ANN layout (round 6,
+    operators/similarity.tombstone_ivf): write the bucket-partitioned
+    layout, tombstone every ``vec_id % 7 == 3``, RE-APPEND exactly the
+    deleted rows (the `_ivf_tombstones` sidecar must refuse to
+    resurrect them), then relayout — the physical-erasure point — and
+    probe ALL buckets of the new layout. The top-10 must equal the
+    exact cosine top-10 over the corpus WITHOUT the deleted ids
+    (oracle SQL below): a deleted row surviving the rewrite, or
+    re-entering through the append, breaks the value hash."""
+    import tempfile
+
+    from light_curve_spark.operators.similarity import (
+        append_ivf_partitioned,
+        cosine_topk,
+        read_ivf_probe,
+        relayout_ivf,
+        tombstone_ivf,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ivftb-")
+    v1, v2 = f"{root}/v1", f"{root}/v2"
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    write_ivf_partitioned(emb, cents, v1)
+    deleted = emb.filter(F.col("vec_id") % 7 == 3)
+    tombstone_ivf(spark, v1, deleted.select("vec_id"))
+    append_ivf_partitioned(deleted, None, v1)
+    relayout_ivf(spark, v1, v2, n_centroids=8)
+    q = _query_vec(spark, sf_dir)
+    probed = read_ivf_probe(spark, v2, None, q, nprobe=8).drop("_bucket")
+    out = cosine_topk(probed, q, k=10)
+    return out.select("vec_id", _r6("cosine").alias("cosine"))
+
+
 def q_embedding_pairs_exact(spark, sf_dir):
     from light_curve_spark.operators.similarity import embedding_cosine_pairs
 
@@ -993,7 +1030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "contamination_documents": q_contamination_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
-        "minhash_incremental_documents": q_minhash_incremental_documents,
+        # minhash_incremental_documents retired round 6 (registry cap:
+        # minhash_compacted_documents runs the same two-batch incremental
+        # feed PLUS a compaction against the same one-shot fixture, so
+        # the plain-fold equality it pinned stays covered there and in
+        # tests/test_round5.py; slot reused for the IVF tombstone
+        # lifecycle)
         "simhash_documents": q_simhash_documents,
         "simhash_weighted_documents": q_simhash_weighted_documents,
         "language_id_documents": q_language_id_documents,
@@ -1006,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_training_ops.py; slot reused for the IVF relayout)
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "ivf_relayout_embeddings": q_ivf_relayout_embeddings,
+        "ivf_tombstone_embeddings": q_ivf_tombstone_embeddings,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
         "ivf_ann_embeddings": q_ivf_ann_embeddings,
         "embedding_pairs_exact": q_embedding_pairs_exact,
@@ -1502,6 +1545,12 @@ SELECT vec_id, round(dot / (na * nb), 6) AS cosine
 FROM d ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
 """
 
+# the IVF tombstone lifecycle must answer from the corpus WITHOUT the
+# deleted ids — same exact-cosine top-10 as _COSINE_SQL, reduced corpus
+_COSINE_TOMB_SQL = _COSINE_SQL.replace(
+    "FROM embeddings e, q", "FROM embeddings e, q WHERE e.vec_id % 7 <> 3"
+)
+
 _EMB_PAIRS_SQL = """
 WITH n AS (
   SELECT vec_id,
@@ -1650,6 +1699,7 @@ GROUP BY 1, 2
         # full-probe top-10 over the relayouted IVF table == exact
         # cosine top-10 (layout lifecycle changes placement, not rows)
         "ivf_relayout_embeddings": _COSINE_SQL,
+        "ivf_tombstone_embeddings": _COSINE_TOMB_SQL,
         "validate_events": _VALIDATE_SQL,
         "sample_documents": """
 SELECT doc_id, source, n_chars FROM (
@@ -1673,11 +1723,6 @@ SELECT user_id, event_id, value FROM (
             "dedup_clusters.parquet", "doc_id, keep_id"
         ),
         "minhash_lsh_documents": _fixture_sql(
-            "minhash_lsh.parquet",
-            "doc_a, doc_b, round(jaccard, 6) AS jaccard",
-        ),
-        # incremental two-batch feed must reproduce the ONE-SHOT fixture
-        "minhash_incremental_documents": _fixture_sql(
             "minhash_lsh.parquet",
             "doc_a, doc_b, round(jaccard, 6) AS jaccard",
         ),
