@@ -654,6 +654,15 @@ def incremental_minhash_pairs(
     full-scan join path for read compatibility; compaction rewrites
     them into the partitioned layout.
 
+    Deletes: ids appended to ``{prefix}_tombstones``
+    (:func:`tombstone_minhash` on a standalone index,
+    :func:`~light_curve_spark.streaming.documents.tombstone_documents`
+    on a pipeline prefix) are excluded from BOTH join sides from the
+    next call on — returned pairs never involve a deleted id, and the
+    union-over-batches contract holds against the corpus WITHOUT those
+    docs. Index rows are erased physically at
+    :func:`~light_curve_spark.streaming.compact.compact_stream_state`.
+
     Caching: internals are scoped (released before return); the returned
     pairs DataFrame is materialized, persisted, and registered in the
     CALLER's cache registry — release it at a batch boundary via
@@ -672,6 +681,21 @@ def incremental_minhash_pairs(
         "gram_source": "tokens" if tokens_col else "text",
         "index_partitions": index_partitions,
     }
+
+    tombs = None
+    if storage.exists(f"{prefix}_tombstones"):
+        tombs = (
+            storage.read(f"{prefix}_tombstones").select("doc_id").distinct()
+        )
+        # deleted ids have left the corpus: drop them from the arriving
+        # batch before the fold (the index must not regrow them) — but
+        # AFTER the content batch id above, so a batch's identity (and
+        # re-delivery idempotency) never depends on delete timing.
+        # Covers both tombstone_minhash on a standalone index and
+        # tombstone_documents on a pipeline prefix (the per-delivery
+        # fold stops pairing against deleted docs; the read side
+        # already drops their edges at re-derivation).
+        new_docs = new_docs.join(F.broadcast(tombs), "doc_id", "left_anti")
 
     with cache_scope() as keep_cached:
         with_sig, banded = _minhash_sig_and_bands(
@@ -723,6 +747,15 @@ def incremental_minhash_pairs(
                     if already_folded
                     else idx
                 )
+                if tombs is not None:
+                    # read-time delete on the stored side — AFTER the
+                    # idempotency probes above (a fully-tombstoned
+                    # batch must still read as folded, or a legacy
+                    # data-scan probe would re-append its rows);
+                    # physical erasure happens at compact_stream_state
+                    stored = stored.join(
+                        F.broadcast(tombs), "doc_id", "left_anti"
+                    )
                 if legacy_layout:
                     # pre-round-6 row-per-doc layout: explode stored
                     # bands back to join keys map-side (full scan)
@@ -854,6 +887,60 @@ def incremental_minhash_pairs(
                     meta={"batch_id": batch_id, **config},
                 )
     return pairs
+
+
+def _tombstone_id_df(spark, ids, col: str = "doc_id") -> DataFrame:
+    """Coerce a delete-id argument (DataFrame: first column taken; or an
+    iterable of ints/strings) to a distinct single-column DataFrame named
+    ``col`` in the ids' own type, so downstream anti-joins bind to the
+    index's id column without an implicit cast."""
+    if isinstance(ids, DataFrame):
+        return ids.select(F.col(ids.columns[0]).alias(col)).distinct()
+    vals = list(ids)
+    import numpy as _np
+
+    if all(isinstance(v, (int, _np.integer)) for v in vals):
+        df = spark.createDataFrame([(int(v),) for v in vals], f"{col} long")
+    else:
+        df = spark.createDataFrame([(str(v),) for v in vals], f"{col} string")
+    return df.distinct()
+
+
+def tombstone_minhash(storage, doc_ids, prefix: str = "mh") -> None:
+    """Delete documents from a STANDALONE persisted MinHash index (one
+    fed directly through :func:`incremental_minhash_pairs`, outside the
+    document pipeline) — the text twin of :func:`~light_curve_spark
+    .operators.similarity.tombstone_vectors`. Appends the ids to
+    ``{prefix}_tombstones``; from the next call on, deleted ids appear
+    on neither join side (stored rows anti-joined out after the
+    idempotency probes, arriving batches fold without them — filtered
+    AFTER the content batch id, so re-delivery idempotency never
+    depends on delete timing). Physical erasure happens at
+    :func:`~light_curve_spark.streaming.compact.compact_stream_state`
+    (its ``doc_id`` match covers the index rows); the id list persists
+    as the erasure audit trail.
+
+    Document-pipeline state must go through :func:`~light_curve_spark
+    .streaming.documents.tombstone_documents` instead — it enforces the
+    edge-history precondition that cluster membership after a delete
+    can be re-derived; this writer refuses a prefix that carries
+    pipeline attrs to keep that guard intact."""
+    if storage.exists(f"{prefix}_attrs"):
+        raise ValueError(
+            f"prefix {prefix!r} holds document-pipeline state "
+            f"({prefix}_attrs exists) — use tombstone_documents, which "
+            "enforces the edge-history precondition for cluster "
+            "re-derivation"
+        )
+    if not storage.exists(f"{prefix}_index"):
+        raise ValueError(
+            f"no MinHash index under prefix {prefix!r} "
+            f"({prefix}_index missing) — tombstone_minhash applies to "
+            "incremental_minhash_pairs state"
+        )
+    storage.append(
+        _tombstone_id_df(storage.spark, doc_ids), f"{prefix}_tombstones"
+    )
 
 
 def simhash(text_col: str = "text", bits: int = 64) -> F.Column:

@@ -1073,3 +1073,87 @@ def test_tombstone_ivf_probe_append_relayout(spark, tmp_path):
     )
     final = read_ivf_probe(spark, new_path, None, query, nprobe=4)
     assert 12 not in {r.vec_id for r in final.collect()}
+
+
+def test_tombstone_minhash_standalone_reduced_corpus(spark, tmp_path):
+    """tombstone_minhash on a standalone incremental MinHash index:
+    post-delete deliveries equal the one-shot run on the corpus minus
+    the deleted docs, pipeline prefixes are refused (tombstone_documents
+    owns those), and compaction physically erases the index rows."""
+    from light_curve_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        tombstone_minhash,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.compact import compact_stream_state
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a completely different sentence about spark physical planning",
+        "tokenized corpora rarely rhyme with anything useful at all",
+        "gradient descent walks downhill one careful step at a time",
+        "seven red balloons drifted over the quiet harbor at dawn",
+        "the cache hierarchy rewards sequential access patterns nicely",
+    ]
+    texts = {}
+    for i in range(12):
+        texts[i] = base[i % 6] + f" variant {i}"
+    # near-dups crossing the delete line: 13~1 (1 deleted), 14~2 and
+    # 15~13... use survivors: 14~2 (kept), 15~4 (kept)
+    texts[13] = texts[1] + " tail"
+    texts[14] = texts[2] + " tail"
+    texts[15] = texts[4] + " tail"
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string"
+        )
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    with pytest.raises(ValueError, match="no MinHash index"):
+        tombstone_minhash(st, [1], prefix="tm")
+
+    def feed(ids):
+        out = incremental_minhash_pairs(
+            st, docs(ids), prefix="tm", threshold=0.5
+        )
+        got = {(r.doc_a, r.doc_b) for r in out.collect()}
+        release_operator_caches()
+        return got
+
+    feed(range(12))
+    tombstone_minhash(st, [1, 7], prefix="tm")
+    late = feed([13, 14, 15])
+
+    survivors = [i for i in list(range(12)) + [13, 14, 15] if i not in (1, 7)]
+    one_shot = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs(survivors), threshold=0.5).collect()
+        if r.doc_a >= 13 or r.doc_b >= 13
+    }
+    assert late == one_shot
+    assert (1, 13) not in late and (2, 14) in late and (4, 15) in late
+    assert all(1 not in p and 7 not in p for p in late)
+
+    # physical erasure at compaction; audit list persists; config guard
+    # and idempotency survive
+    compact_stream_state(st, prefix="tm")
+    idx = st.read("tm_index")
+    assert idx.filter(F.col("doc_id").isin(1, 7)).count() == 0
+    assert idx.filter(F.col("doc_id") == 2).count() > 0
+    assert st.read("tm_tombstones").count() == 2
+    n_snaps = len(st.snapshots("tm_index"))
+    again = feed([13, 14, 15])  # re-delivery: index no-op, same pairs
+    assert len(st.snapshots("tm_index")) == n_snaps
+    assert again == late
+
+    # a document-pipeline prefix is refused (attrs present)
+    st.append(
+        spark.createDataFrame([(1, "x")], "doc_id long, digest string"),
+        "dp2_attrs",
+    )
+    st.append(idx.limit(1), "dp2_index")
+    with pytest.raises(ValueError, match="tombstone_documents"):
+        tombstone_minhash(st, [1], prefix="dp2")
