@@ -579,20 +579,20 @@ def tombstone_vectors(storage, ids, prefix: str = "emb") -> None:
             f"({prefix}_index missing) — tombstone_vectors applies to "
             "incremental_embedding_pairs state"
         )
-    if isinstance(ids, DataFrame):
-        df = ids.select(F.col(ids.columns[0]).alias("doc_id")).distinct()
-    else:
-        vals = list(ids)
-        if all(isinstance(v, (int, np.integer)) for v in vals):
-            df = storage.spark.createDataFrame(
-                [(int(v),) for v in vals], "doc_id long"
-            )
-        else:
-            df = storage.spark.createDataFrame(
-                [(str(v),) for v in vals], "doc_id string"
-            )
-        df = df.distinct()
-    storage.append(df, f"{prefix}_tombstones")
+    if prefix.endswith("_sem") and storage.exists(f"{prefix[:-4]}_attrs"):
+        # the document pipeline's semantic index: deleting a vector
+        # here without deleting its document would leave the doc alive
+        # in status while its semantic pairs silently stop forming
+        raise ValueError(
+            f"prefix {prefix!r} is the semantic index of a document "
+            f"pipeline ({prefix[:-4]}_attrs exists) — delete the "
+            "document via tombstone_documents instead"
+        )
+    from light_curve_spark.operators.dedup import _tombstone_id_df
+
+    storage.append(
+        _tombstone_id_df(storage.spark, ids), f"{prefix}_tombstones"
+    )
 
 
 def train_ivf_centroids(

@@ -315,6 +315,30 @@ def main() -> None:
     )
     assert "CartesianProduct" not in plan16
 
+    # 17. tombstone-filtered fold (round 6): after tombstone_minhash the
+    # delivery's plan carries broadcast anti-joins against the deleted-id
+    # set on BOTH sides (arriving batch + stored index) while the
+    # partition pruning above survives — a delete costs one tiny
+    # broadcast per side, never a rescan or rewrite
+    from light_curve_spark.operators.dedup import tombstone_minhash
+
+    tombstone_minhash(st16, [1, 3], prefix="pm")
+    plan17 = formatted(
+        incremental_minhash_pairs(
+            st16, d16.filter(F.col("doc_id") % 2 == 1), prefix="pm"
+        )
+    )
+    sections.append(
+        (
+            "Tombstone-filtered MinHash fold (broadcast LeftAnti against "
+            "the deleted-id set on batch and stored sides; "
+            "PartitionFilters still prune the index scan)",
+            plan17,
+            ["LeftAnti", "PartitionFilters: [_pb"],
+        )
+    )
+    assert "CartesianProduct" not in plan17
+
     from light_curve_spark.plans.caching import release_operator_caches
 
     release_operator_caches()

@@ -1157,3 +1157,34 @@ def test_tombstone_minhash_standalone_reduced_corpus(spark, tmp_path):
     st.append(idx.limit(1), "dp2_index")
     with pytest.raises(ValueError, match="tombstone_documents"):
         tombstone_minhash(st, [1], prefix="dp2")
+
+
+def test_tombstone_vectors_refuses_pipeline_sem_prefix(spark, tmp_path):
+    """Deleting a vector from a document pipeline's semantic index
+    without deleting the document would desync status from the index —
+    the writer refuses; tombstone_documents owns pipeline deletes."""
+    from light_curve_spark.operators.similarity import (
+        incremental_embedding_pairs,
+        tombstone_vectors,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "st"))
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "doc_id long, embedding array<double>",
+    )
+    incremental_embedding_pairs(st, emb, prefix="dp9_sem").collect()
+    release_operator_caches()
+    st.append(
+        spark.createDataFrame([(1, "x")], "doc_id long, digest string"),
+        "dp9_attrs",
+    )
+    with pytest.raises(ValueError, match="tombstone_documents"):
+        tombstone_vectors(st, [1], prefix="dp9_sem")
+    # the same prefix WITHOUT pipeline attrs is a plain standalone index
+    incremental_embedding_pairs(st, emb, prefix="solo_sem").collect()
+    release_operator_caches()
+    tombstone_vectors(st, [1], prefix="solo_sem")
+    assert st.read("solo_sem_tombstones").count() == 1
