@@ -44,6 +44,7 @@ HEADLINE = [
 # round-over-round comparable (they land in "extra_queries", not the
 # metric value)
 EXTRA = [
+    "rollup_retract_events",
     "rollup_distinct_events",
     "bm25_documents",
     "simhash_weighted_documents",

@@ -124,6 +124,131 @@ def rollup_tiers(
     )
 
 
+def retract_from_rollup(
+    rollup: DataFrame,
+    deleted: DataFrame,
+    retained: DataFrame,
+    keys: list[str] | None = None,
+    base_width: float = 16.0,
+    tiers: tuple[int, ...] = (1, 10, 100),
+) -> DataFrame:
+    """Remove DELETED raw events from an already-computed tier rollup —
+    the continuous-aggregate side of the right-to-be-forgotten surface
+    (round 6; the dedup/vector twins are the tombstone operators). The
+    result EQUALS ``rollup_tiers(retained, ...)`` (pytest + SQL oracle)
+    without re-rolling the corpus:
+
+    - decomposable stats subtract: the deleted rows' own tier partials
+      (one ``rollup_tiers`` over just the deleted rows — tiny, AQE
+      broadcasts it) come off ``n_points``/``v_sum``; emptied buckets
+      drop;
+    - extrema cannot subtract: a bucket needs its min (max) recomputed
+      ONLY when a deleted row achieved it (``deleted_min <= v_min``) —
+      everywhere else the stored extremum stands. The base tier
+      recomputes from ``retained`` raw SEMI-JOINED to exactly the
+      affected buckets (the 100 TB posture: the raw rescan is bounded
+      by the delete's bucket footprint, and partition pruning on time
+      keeps it to those ranges); every coarser tier recomputes from the
+      already-ADJUSTED base-tier partials, never from raw — a tier-T
+      extremum is the min/max over its surviving tier-1 children.
+
+    ``rollup`` must carry the ``rollup_tiers`` row shape (a ``v_mean``
+    column is ignored and re-derived); ``retained`` is the raw series
+    minus ``deleted``, in the same long form the rollup was built
+    from."""
+    from light_curve_spark.plans.caching import cached
+
+    keys = keys or ["doc_id", "source"]
+    on = [*keys, "tier", "bucket"]
+    d = (
+        rollup_tiers(deleted, keys, base_width, tiers)
+        .select(
+            *on,
+            F.col("n_points").alias("_dn"),
+            F.col("v_sum").alias("_dsum"),
+            F.col("v_min").alias("_dmin"),
+            F.col("v_max").alias("_dmax"),
+        )
+    )
+    adj = (
+        rollup.drop("v_mean")
+        .join(d, on, "left")
+        .select(
+            *on,
+            (F.col("n_points") - F.coalesce("_dn", F.lit(0))).alias("n_points"),
+            (F.col("v_sum") - F.coalesce("_dsum", F.lit(0.0))).alias("v_sum"),
+            "v_min",
+            "v_max",
+            (
+                F.col("_dmin").isNotNull() & (F.col("_dmin") <= F.col("v_min"))
+            ).alias("_remin"),
+            (
+                F.col("_dmax").isNotNull() & (F.col("_dmax") >= F.col("v_max"))
+            ).alias("_remax"),
+        )
+        .filter(F.col("n_points") > 0)
+    )
+    # consumed once per tier below plus the recompute prunes — cache so
+    # the rollup/deleted join runs once (session-scoped registry)
+    adj = cached(adj)
+
+    def _fix(tier_df: DataFrame, re_df: DataFrame) -> DataFrame:
+        """Swap recomputed extrema into the affected rows."""
+        return tier_df.join(re_df, on, "left").select(
+            *on,
+            "n_points",
+            "v_sum",
+            F.when(F.col("_remin"), F.col("_nmin"))
+            .otherwise(F.col("v_min"))
+            .alias("v_min"),
+            F.when(F.col("_remax"), F.col("_nmax"))
+            .otherwise(F.col("v_max"))
+            .alias("v_max"),
+        )
+
+    t1 = tiers[0]
+    aff1 = adj.filter(
+        (F.col("tier") == t1) & (F.col("_remin") | F.col("_remax"))
+    ).select(*keys, "bucket")
+    raw1 = retained.select(
+        *keys, bucketize("t", base_width * t1).alias("bucket"), "v"
+    ).join(aff1, [*keys, "bucket"], "left_semi")
+    re1 = (
+        raw1.groupBy(*keys, "bucket")
+        .agg(F.min("v").alias("_nmin"), F.max("v").alias("_nmax"))
+        .withColumn("tier", F.lit(t1))
+    )
+    fixed1 = cached(_fix(adj.filter(F.col("tier") == t1), re1))
+    out = [fixed1]
+    for t in tiers[1:]:
+        afft = adj.filter(
+            (F.col("tier") == t) & (F.col("_remin") | F.col("_remax"))
+        ).select(*keys, "bucket")
+        children = fixed1.select(
+            *keys,
+            F.floor(F.col("bucket") / F.lit(t // t1)).alias("bucket"),
+            "v_min",
+            "v_max",
+        ).join(afft, [*keys, "bucket"], "left_semi")
+        ret = (
+            children.groupBy(*keys, "bucket")
+            .agg(F.min("v_min").alias("_nmin"), F.max("v_max").alias("_nmax"))
+            .withColumn("tier", F.lit(t))
+        )
+        out.append(_fix(adj.filter(F.col("tier") == t), ret))
+    res = reduce(lambda a, b: a.unionByName(b), out)
+    return res.select(
+        *keys,
+        "tier",
+        "bucket",
+        "n_points",
+        "v_sum",
+        "v_min",
+        "v_max",
+        (F.col("v_sum") / F.col("n_points")).alias("v_mean"),
+    )
+
+
 def rollup_tiers_arrays(
     seq: DataFrame,
     base_width: int = 16,

@@ -1188,3 +1188,68 @@ def test_tombstone_vectors_refuses_pipeline_sem_prefix(spark, tmp_path):
     release_operator_caches()
     tombstone_vectors(st, [1], prefix="solo_sem")
     assert st.read("solo_sem_tombstones").count() == 1
+
+
+def test_retract_from_rollup_equals_reduced_rollup(spark):
+    """retract_from_rollup == rollup_tiers(retained) across every
+    delete pattern that exercises a distinct code path: a bucket's min,
+    a bucket's max, both extrema, non-extremum rows (no recompute), an
+    entire bucket (row drops), an entire key, and rows whose removal
+    must propagate a new extremum into the coarser tiers."""
+    from light_curve_spark.operators.rollup import (
+        retract_from_rollup,
+        rollup_tiers,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for key in ("a", "b", "c"):
+        for i in range(400):
+            rows.append((key, float(i), float(rng.normal())))
+    series = spark.createDataFrame(rows, "k string, t double, v double")
+    # deletes: every bucket-extremum of key a's first buckets, all of
+    # key b (full-key), bucket [16,32) of key c entirely, plus a spread
+    # of non-extremum rows (t % 13 == 5)
+    per_bucket_min = series.filter(F.col("k") == "a").groupBy(
+        F.floor(F.col("t") / 16).alias("_b")
+    ).agg(F.min("v").alias("v")).limit(10)
+    cond = (
+        (F.col("k") == "b")
+        | ((F.col("k") == "c") & (F.col("t") >= 16) & (F.col("t") < 32))
+        | (F.col("t") % 13 == 5)
+    )
+    deleted = series.filter(cond).unionByName(
+        series.join(
+            per_bucket_min.select(F.col("v").alias("_mv")),
+            F.col("v") == F.col("_mv"),
+        ).select("k", "t", "v")
+    ).distinct()
+    retained = series.join(deleted, ["k", "t", "v"], "left_anti")
+
+    kw = dict(keys=["k"], base_width=16.0, tiers=(1, 10, 100))
+    full = rollup_tiers(series, **kw)
+    got = {
+        (r.k, r.tier, r.bucket): (r.n_points, r.v_sum, r.v_min, r.v_max, r.v_mean)
+        for r in retract_from_rollup(full, deleted, retained, **kw).collect()
+    }
+    want = {
+        (r.k, r.tier, r.bucket): (r.n_points, r.v_sum, r.v_min, r.v_max, r.v_mean)
+        for r in rollup_tiers(retained, **kw).collect()
+    }
+    release_operator_caches()
+    assert set(got) == set(want)
+    assert all(k[0] != "b" for k in got)  # full-key delete vanished
+    assert ("c", 1, 1) not in got  # full-bucket delete vanished
+    for k, (n, s, lo, hi, mean) in want.items():
+        gn, gs, glo, ghi, gmean = got[k]
+        assert gn == n and glo == lo and ghi == hi, k
+        assert gs == pytest.approx(s, abs=1e-9) and gmean == pytest.approx(
+            mean, abs=1e-9
+        ), k
+
+    # empty delete: identity (modulo v_mean re-derivation)
+    empty = series.limit(0)
+    same = retract_from_rollup(full, empty, series, **kw)
+    assert same.count() == full.count()
+    release_operator_caches()
