@@ -64,3 +64,64 @@ def incremental_rollup(
     except ValueError:
         merged = new_partials
     return storage.append(merged, "rollup_continuous")
+
+
+def retract_rollup_state(
+    storage,
+    deleted,
+    retained=None,
+    keys: list[str] | None = None,
+    base_width: float = 16.0,
+    tiers: tuple[int, ...] = (1, 10, 100),
+    table: str = "rollup_continuous",
+) -> str:
+    """Remove deleted data from the persisted continuous-aggregate state
+    (the fold's right-to-be-forgotten twin, round 6) and append the
+    reduced state as a new snapshot; returns the snapshot id. Earlier
+    snapshots still hold the pre-delete state — a real deployment
+    expires them (Iceberg ``expire_snapshots``; the parquet fallback's
+    ``replace()`` via compaction), same posture as the tombstone tables.
+
+    Two delete shapes, matching how continuous aggregates actually
+    shrink:
+
+    - ``retained is None``: ``deleted`` is a DataFrame of WHOLE key
+      tuples (e.g. entire ``doc_id``/``user_id`` entities — the common
+      GDPR case). Every bucket of a deleted key dies wholesale, so no
+      extremum can survive partially and the retraction is ONE
+      broadcast anti-join on the state table — no raw access at all.
+    - ``retained`` given: both are LONG-FORM series (keys + t + v) and
+      the partial-bucket math delegates to
+      :func:`~light_curve_spark.operators.rollup.retract_from_rollup`
+      (decomposables subtract; extrema recompute only in the buckets a
+      deleted row topped, raw rescan bounded by that footprint).
+
+    The result equals ``rollup_tiers`` over the corpus without the
+    deleted data (pytest-gated both shapes)."""
+    from light_curve_spark.operators.rollup import retract_from_rollup
+
+    keys = keys or ["doc_id", "source"]
+    existing = storage.read_snapshot(table)
+    if retained is None:
+        join_cols = [c for c in keys if c in deleted.columns]
+        if not join_cols:
+            raise ValueError(
+                f"deleted carries none of the rollup keys {keys!r} — "
+                "pass whole-key tuples, or long-form deleted+retained "
+                "series for partial-bucket retraction"
+            )
+        reduced = existing.join(
+            F.broadcast(deleted.select(*join_cols).distinct()),
+            join_cols,
+            "left_anti",
+        )
+    else:
+        reduced = retract_from_rollup(
+            existing,
+            deleted,
+            retained,
+            keys=keys,
+            base_width=base_width,
+            tiers=tiers,
+        )
+    return storage.append(reduced, table)

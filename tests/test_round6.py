@@ -1253,3 +1253,66 @@ def test_retract_from_rollup_equals_reduced_rollup(spark):
     same = retract_from_rollup(full, empty, series, **kw)
     assert same.count() == full.count()
     release_operator_caches()
+
+
+def test_retract_rollup_state_both_delete_shapes(spark, tmp_path):
+    """retract_rollup_state on the persisted continuous aggregate:
+    whole-key deletes are one anti-join (no raw access), partial
+    deletes delegate to retract_from_rollup — both snapshots equal the
+    rollup over the corpus without the deleted data."""
+    from light_curve_spark.operators.rollup import rollup_tiers
+    from light_curve_spark.operators.series import explode_series
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.sources.synthetic import synthetic_sequences
+    from light_curve_spark.streaming.incremental import (
+        incremental_rollup,
+        retract_rollup_state,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "inc"))
+    seq = synthetic_sequences(spark, 30, seed=42).persist()
+    incremental_rollup(spark, st, seq.filter(F.col("doc_id") < "doc00000015"))
+    incremental_rollup(spark, st, seq.filter(F.col("doc_id") >= "doc00000015"))
+
+    def as_map(df):
+        return {
+            (r.doc_id, r.source, r.tier, r.bucket): (
+                r.n_points, r.v_sum, r.v_min, r.v_max,
+            )
+            for r in df.collect()
+        }
+
+    # whole-entity delete: four doc_ids vanish via one anti-join
+    gone = [f"doc{i:08d}" for i in (3, 7, 15, 22)]
+    deleted_keys = spark.createDataFrame([(d,) for d in gone], "doc_id string")
+    retract_rollup_state(st, deleted_keys)
+    got = as_map(st.read_snapshot("rollup_continuous"))
+    keep = seq.filter(~F.col("doc_id").isin(gone))
+    want = as_map(rollup_tiers(explode_series(keep)))
+    release_operator_caches()
+    assert set(got) == set(want)
+    for k, (n, s, lo, hi) in want.items():
+        gn, gs, glo, ghi = got[k]
+        assert gn == n and glo == lo and ghi == hi, k
+        assert gs == pytest.approx(s, rel=1e-12), k
+
+    # partial delete: strip each surviving doc's rows at t % 5 == 2
+    series = explode_series(keep)
+    cond = F.col("t") % 5 == 2
+    retract_rollup_state(st, series.filter(cond), retained=series.filter(~cond))
+    got2 = as_map(st.read_snapshot("rollup_continuous"))
+    want2 = as_map(rollup_tiers(series.filter(~cond)))
+    release_operator_caches()
+    assert set(got2) == set(want2)
+    for k, (n, s, lo, hi) in want2.items():
+        gn, gs, glo, ghi = got2[k]
+        assert gn == n and glo == lo and ghi == hi, k
+        assert gs == pytest.approx(s, abs=1e-9), k
+
+    # missing keys in the delete frame is an error, not a silent no-op
+    with pytest.raises(ValueError, match="none of the rollup keys"):
+        retract_rollup_state(
+            st, spark.createDataFrame([(1,)], "other long")
+        )
+    seq.unpersist()
