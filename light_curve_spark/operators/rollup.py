@@ -155,7 +155,19 @@ def retract_from_rollup(
     ``rollup`` must carry the ``rollup_tiers`` row shape (a ``v_mean``
     column is ignored and re-derived); ``retained`` is the raw series
     minus ``deleted``, in the same long form the rollup was built
-    from."""
+    from.
+
+    Float tolerance (round-6 ADVICE low): ``v_sum`` is computed by
+    SUBTRACTION (stored sum minus the deleted rows' partials), while
+    ``rollup_tiers(retained)`` re-adds the retained rows — floating-point
+    non-associativity means the two can diverge up to the cancellation
+    error of the bucket's sum, i.e. ~|v_sum_stored| * 2^-52 amplified by
+    how much of the bucket's mass was deleted. Equality with a re-roll is
+    therefore exact for ``n_points``/``v_min``/``v_max`` and holds for
+    ``v_sum``/``v_mean`` to within that cancellation bound (well under
+    the oracle's 1e-6 rounding unless a delete cancels nearly all of a
+    large-magnitude bucket); deployments deleting most of a high-|sum|
+    bucket should re-roll those buckets from raw instead."""
     from light_curve_spark.plans.caching import cached
 
     keys = keys or ["doc_id", "source"]

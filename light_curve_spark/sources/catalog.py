@@ -60,6 +60,33 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _fix_empty_partitioned_snapshot(
+    df: DataFrame, out: str, partition_by: list[str] | None
+) -> None:
+    """An EMPTY hive-partitioned write emits only ``_SUCCESS`` — no
+    parquet file, no schema — so any later read of a manifest that
+    includes that snapshot raises UNABLE_TO_INFER_SCHEMA and the table
+    is permanently unreadable (round-6 ADVICE highs: an all-tombstoned
+    incremental batch, or a compaction that erases every row). Detect
+    the poison AFTER the write (zero extra Spark jobs on the non-empty
+    path) and rewrite the snapshot NON-partitioned: the empty parquet
+    file then carries the full schema with the partition columns as
+    regular (all-null-capable, zero-row) columns, which unionByName
+    merges cleanly with hive-partitioned sibling snapshots."""
+    if not partition_by:
+        return
+    try:
+        entries = os.listdir(out)
+    except OSError:
+        return
+    if any(not e.startswith(("_", ".")) for e in entries):
+        return  # at least one partition dir: the write carried data
+    import shutil
+
+    shutil.rmtree(out)
+    df.write.mode("error").parquet(out)
+
+
 class ParquetSnapshotStorage:
     """Append-only snapshot storage over plain parquet.
 
@@ -131,6 +158,7 @@ class ParquetSnapshotStorage:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
+        _fix_empty_partitioned_snapshot(df, out, partition_by)
         snaps = self.snapshots(table)
         entry = {"id": snap_id, "committed_at": time.time(), "path": out}
         if meta:
@@ -190,6 +218,7 @@ class ParquetSnapshotStorage:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
+        _fix_empty_partitioned_snapshot(df, out, partition_by)
         old = self.snapshots(table)
         entry = {"id": snap_id, "committed_at": time.time(), "path": out}
         if meta:

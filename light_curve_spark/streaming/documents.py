@@ -499,14 +499,13 @@ def tombstone_documents(storage, doc_ids, prefix: str = "dpx") -> None:
             "membership after a delete cannot be re-derived — rebuild "
             "the state (or compact a fresh run) before tombstoning"
         )
-    spark = storage.spark
-    if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id long"
-        )
-    storage.append(
-        doc_ids.select("doc_id").distinct(), f"{prefix}_tombstones"
-    )
+    from light_curve_spark.operators.dedup import _tombstone_id_df
+
+    # _tombstone_id_df handles DataFrame / long / string ids uniformly
+    # (round-6 ADVICE low: the ad-hoc int(i) coercion here raised on
+    # string doc ids while tombstone_minhash/tombstone_vectors accepted
+    # them)
+    storage.append(_tombstone_id_df(storage.spark, doc_ids), f"{prefix}_tombstones")
 
 
 def read_document_status(

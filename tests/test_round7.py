@@ -1,0 +1,101 @@
+"""Round-7 regression tests.
+
+1. Empty-partitioned-snapshot poisoning (round-6 ADVICE highs + medium):
+   an empty hive-partitioned append/replace used to write only _SUCCESS,
+   making every later read of the table raise UNABLE_TO_INFER_SCHEMA.
+   The storage layer now rewrites such snapshots non-partitioned (schema-
+   bearing), so an all-tombstoned delivery or a delete-everything
+   compaction leaves the table readable.
+2. tombstone_documents accepts string ids (ADVICE low).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_empty_partitioned_append_stays_readable(spark, tmp_path):
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "s"))
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.pmod(F.col("id"), F.lit(4)).alias("_pb")
+    )
+    st.append(df, "t", partition_by=["_pb"], meta={"batch_id": "b1"})
+    # the poison case: zero rows into a partitioned append
+    st.append(df.filter(F.col("doc_id") < 0), "t", partition_by=["_pb"],
+              meta={"batch_id": "b2"})
+    out = st.read("t")
+    assert out.count() == 10
+    assert set(out.columns) == {"doc_id", "_pb"}
+    # partition pruning column still filterable across the union
+    assert out.filter(F.col("_pb") == 1).count() == df.filter(
+        F.pmod(F.col("id"), F.lit(4)) == 1
+    ).count()
+    # batch ids recorded for BOTH snapshots (idempotency probes intact)
+    assert [m["batch_id"] for m in st.snapshot_metas("t")] == ["b1", "b2"]
+
+
+def test_empty_partitioned_replace_stays_readable(spark, tmp_path):
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "s"))
+    df = spark.range(6).select(
+        F.col("id").alias("doc_id"), F.pmod(F.col("id"), F.lit(3)).alias("_pb")
+    )
+    st.append(df, "t", partition_by=["_pb"])
+    # delete-everything compaction: replace with zero rows
+    st.replace(df.filter(F.col("doc_id") < 0), "t", partition_by=["_pb"],
+               meta={"compacted": True})
+    out = st.read("t")
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "_pb"}
+
+
+def test_all_tombstoned_minhash_batch_keeps_index_readable(spark, tmp_path):
+    """End-to-end ADVICE-high repro: tombstone ids, deliver a batch of
+    ONLY those ids, then deliver a fresh batch — the index must still be
+    readable and the fresh delivery must pair against batch 1."""
+    from light_curve_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        tombstone_minhash,
+    )
+    from light_curve_spark.plans.caching import release_operator_caches
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "mh"))
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text + f" tail{i % 2}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    incremental_minhash_pairs(st, docs.filter("doc_id < 4"), threshold=0.1)
+    tombstone_minhash(st, [100, 101], prefix="mh")
+    # batch of ONLY tombstoned ids -> empty after the anti-join
+    dead = spark.createDataFrame(
+        [(100, text), (101, text)], "doc_id long, text string"
+    )
+    incremental_minhash_pairs(st, dead, threshold=0.1)
+    # the index must still be readable and a fresh batch must fold
+    pairs = incremental_minhash_pairs(st, docs.filter("doc_id >= 4"), threshold=0.1)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got, "fresh batch found no pairs against the stored index"
+    assert all(a < 100 and b < 100 for a, b in got)
+    release_operator_caches()
+
+
+def test_tombstone_documents_accepts_string_ids(spark, tmp_path):
+    """ADVICE low: the old ad-hoc int(i) coercion raised on string doc
+    ids. Fabricate the minimal edge-persistence precondition state, then
+    tombstone string ids — must not raise, stored as strings."""
+    from light_curve_spark.sources.catalog import ParquetSnapshotStorage
+    from light_curve_spark.streaming.documents import tombstone_documents
+
+    st = ParquetSnapshotStorage(spark, str(tmp_path / "dp"))
+    attrs = spark.createDataFrame([("a", 0.5)], "doc_id string, quality double")
+    pairs = spark.createDataFrame([("a", "b", 1.0)],
+                                  "doc_a string, doc_b string, jaccard double")
+    st.append(attrs, "dpx_attrs", meta={"batch_id": "b1"})
+    st.append(pairs, "dpx_pairs", meta={"batch_id": "b1"})
+    tombstone_documents(st, ["a", "b"], prefix="dpx")
+    tset = {r.doc_id for r in st.read("dpx_tombstones").collect()}
+    assert tset == {"a", "b"}
