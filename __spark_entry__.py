@@ -163,7 +163,16 @@ def q_rollup_retract_events(spark, sf_dir):
         rollup_tiers,
     )
 
-    series = _events_series(spark, sf_dir)
+    from light_curve_spark.plans.caching import cached
+    from light_curve_spark.plans.salting import ensure_min_splits
+
+    # the series feeds THREE consumers (full rollup, deleted partials,
+    # retained extrema rescan); uncached each re-reads the single-row-
+    # group parquet serially and repeats the epoch projection (round 7,
+    # guide §5: reuse justifies the persist — a retraction deployment
+    # materializes the retained/deleted split rather than scanning raw
+    # three times). ensure_min_splits parallelizes the one real pass.
+    series = cached(ensure_min_splits(_events_series(spark, sf_dir)))
     cond = (
         F.pmod(F.floor(F.col("t") / F.lit(1e6)).cast("long"), F.lit(7)) == 3
     )

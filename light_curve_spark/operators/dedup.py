@@ -164,38 +164,57 @@ def ngram_jaccard_pairs(
         "doc_id",
         F.explode(_gram_hash_array(n, text_col, tokens_col)).alias("gram"),
     )
-    # prune via LEFT ANTI join against the HIGH-df grams — a set bounded
-    # by total_gram_instances / max_df (pigeonhole), i.e. orders of
-    # magnitude smaller than the low-df set the old inner-join pruned
-    # against. No forced broadcast hint: at corpus scales the bound still
-    # allows a set too big to broadcast (10^12 instances / 10^3 = 10^9
-    # keys), so the planner/AQE picks broadcast when it fits and degrades
-    # to a shuffled anti-join gracefully when it doesn't.
-    high_df = (
-        grams.groupBy("gram").count().filter(F.col("count") > max_df).select("gram")
+    # ONE groupBy(gram) shuffle builds the posting lists AND the df
+    # counts together (round 7, guide §2.3/§2.4): the old shape paid the
+    # gram construction twice (a separate df-aggregate subtree for the
+    # high-df prune), anti-joined, cached the exploded index, and then
+    # ran a gram self-join plus TWO per-doc size aggregates over it —
+    # 6 exchanges and two corpus-scale gram builds. Here the max_df
+    # prune is a free filter on the aggregated df, per-doc sizes explode
+    # the kept posting lists (8-byte ids, not text), and candidate pairs
+    # come from the sorted posting list itself: posexplode + slice give
+    # every (ids[i], ids[j]) i<j combination as two Generate nodes — no
+    # self-join, no second gram build. Identical pairs and jaccard
+    # values: same integer intersection/union counts, same division.
+    posting = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("ids"))
+        .filter(F.col("df") <= max_df)
+        .select("df", F.array_sort("ids").alias("ids"))
     )
-    grams = grams.join(high_df, "gram", "left_anti")
-    # persist the pruned inverted index: it feeds the per-doc sizes AND
-    # both sides of the self-join — without this, Catalyst recomputes the
-    # normalize+split+zip_with n-gram construction ~3x (3 corpus scans at
-    # 100 TB). Session-scoped; released via release_operator_caches().
-    grams = cached(grams)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    # persist the pruned posting lists: they feed the per-doc sizes AND
+    # the pair expansion — without this, Catalyst recomputes the
+    # normalize+split+zip_with n-gram construction + shuffle twice.
+    # Session-scoped; released via release_operator_caches().
+    posting = cached(posting)
+    sizes = (
+        posting.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"))
+    )
     inter = (
-        a.join(b, F.col("a.gram") == F.col("b.gram"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        posting.filter(F.col("df") >= 2)
+        .select("ids", F.posexplode("ids").alias("_i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.slice(F.col("ids"), F.col("_i") + 2, F.lit(max_df))).alias(
+                "doc_b"
+            ),
         )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    # explicit build side (guide §3.1): Catalyst's size estimate for the
+    # pair aggregate passes the cached posting relation's stats through
+    # the two Generates unchanged, so it mis-reads the Σdf² pair table as
+    # the small side and broadcasts IT (observed: a 67M-row broadcast,
+    # ~20x the whole query's runtime). sizes is ≤ one row per doc — the
+    # provably smaller side of both joins.
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
@@ -387,7 +406,7 @@ def _minhash_sig_and_bands(
     with_sig = ensure_min_splits(docs).select(
         "doc_id",
         _gram_hash_array(n, text_col, tokens_col).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    )
     with_sig = with_sig.withColumn(
         "sig", _minhash_signature(F.col("grams"), num_hashes)
     )
@@ -395,6 +414,15 @@ def _minhash_sig_and_bands(
     # banding explode AND (twice) by the verification joins; uncached,
     # each consumer re-runs the full n-gram construction over the corpus
     with_sig = cached(with_sig)
+    # the empty-gram filter is applied ABOVE the cache (round 7, guide
+    # §7.2 "duplicated subtrees"): placed below it, Catalyst pushed the
+    # predicate under the parallelizing exchange and re-evaluated the
+    # ENTIRE gram construction per doc just to test emptiness — serially,
+    # on the pre-repartition scan, with the split expression duplicated
+    # ~8x inside the condition (no CSE across slice arguments). On the
+    # cache it tests a materialized array's size. Same rows either way:
+    # empty-gram docs produce all-null signatures and can never band.
+    with_sig = with_sig.filter(F.size("grams") > 0)
     banded = with_sig.select(
         "doc_id",
         F.explode(_band_array(F.col("sig"), bands, rows_per_band)).alias("band"),

@@ -56,12 +56,25 @@ def _lang_pred_cols() -> tuple[F.Column, F.Column]:
     return pred.alias("lang_pred"), best.alias("lang_score")
 
 
+def _parallel_docs(docs: DataFrame, text_col: str) -> DataFrame:
+    """Project to (doc_id, text) and guarantee the session's parallelism
+    (round 7, guide §2.5 input skew): the per-doc text expressions below
+    are pure projections, so on a single-row-group parquet input the
+    whole corpus pass would otherwise run as ONE task. No-op when the
+    source is already split (the normal case at scale)."""
+    from light_curve_spark.plans.salting import ensure_min_splits
+
+    return ensure_min_splits(docs.select("doc_id", text_col))
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: (doc_id, lang_pred, lang_score).
 
     Per language: fraction of words that are that language's markers;
     argmax wins, 'und' (undetermined) when no marker hits at all."""
-    scored = docs.select("doc_id", *_lang_score_cols(text_col))
+    scored = _parallel_docs(docs, text_col).select(
+        "doc_id", *_lang_score_cols(text_col)
+    )
     pred, best = _lang_pred_cols()
     return scored.select("doc_id", pred, best)
 
@@ -120,7 +133,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + composite score:
     (doc_id, n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
     upper_ratio, quality). Pure expressions."""
-    return docs.select("doc_id", *_quality_cols(text_col))
+    return _parallel_docs(docs, text_col).select("doc_id", *_quality_cols(text_col))
 
 
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -129,7 +142,7 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - bpe_tokens: BPE-ish regex pieces (letter runs / digit runs /
       single punctuation), a deterministic proxy for subword tokenizers.
     """
-    return docs.select("doc_id", *_token_cols(text_col))
+    return _parallel_docs(docs, text_col).select("doc_id", *_token_cols(text_col))
 
 
 def document_attributes(
@@ -149,6 +162,9 @@ def document_attributes(
     ``include_input=True`` keeps every input column alongside the
     attributes (the finalize posture: clean corpus + attributes with no
     join at all)."""
+    from light_curve_spark.plans.salting import ensure_min_splits
+
+    docs = ensure_min_splits(docs if include_input else docs.select("doc_id", text_col))
     base = [F.col(c) for c in docs.columns] if include_input else [F.col("doc_id")]
     scored = docs.select(
         *base, *_lang_score_cols(text_col), *_quality_cols(text_col),
@@ -203,13 +219,27 @@ def bm25_scores(
         # parameter count, and a 2-arg lambda means (element, index)
         return lambda w: w == F.lit(term)
 
-    base = docs.select(
-        "doc_id",
-        F.size(words).cast("long").alias("dl"),
-        *[
-            F.size(F.filter(words, _eq(t))).cast("long").alias(f"tf{i}")
-            for i, t in enumerate(terms)
-        ],
+    from light_curve_spark.plans.caching import cached
+    from light_curve_spark.plans.salting import ensure_min_splits
+
+    # split the text ONCE, in parallel, and persist the (1+T)-long
+    # projection (round 7, guide §2.3/§4.1): without this the stats
+    # aggregate and the scored side each re-scan the corpus and re-split
+    # every document, and the term-hit filter below — pushed under the
+    # projection — re-evaluates the split a third time; on a single-row-
+    # group parquet input all of it ran in ONE task. ensure_min_splits
+    # parallelizes the text pass; the cache makes stats + scoring read
+    # 8-byte longs. Tiny: (2 + #terms) longs per doc, released via
+    # release_operator_caches().
+    base = cached(
+        ensure_min_splits(docs.select("doc_id", text_col)).select(
+            "doc_id",
+            F.size(words).cast("long").alias("dl"),
+            *[
+                F.size(F.filter(words, _eq(t))).cast("long").alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
     )
     stats = base.agg(
         F.count("*").alias("n"),

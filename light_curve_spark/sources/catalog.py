@@ -79,8 +79,15 @@ def _fix_empty_partitioned_snapshot(
         entries = os.listdir(out)
     except OSError:
         return
-    if any(not e.startswith(("_", ".")) for e in entries):
-        return  # at least one partition dir: the write carried data
+    # data present iff the write produced hive partition dirs (col=value
+    # — note the engine's partition columns start with '_', e.g. _pb=3,
+    # so "starts with underscore" does NOT mean metadata) or part files
+    if any(
+        ("=" in e) or e.endswith(".parquet")
+        for e in entries
+        if not e.startswith(".")
+    ):
+        return
     import shutil
 
     shutil.rmtree(out)

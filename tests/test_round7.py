@@ -23,6 +23,13 @@ def test_empty_partitioned_append_stays_readable(spark, tmp_path):
         F.col("id").alias("doc_id"), F.pmod(F.col("id"), F.lit(4)).alias("_pb")
     )
     st.append(df, "t", partition_by=["_pb"], meta={"batch_id": "b1"})
+    # the NON-empty append must stay hive-partitioned (the rewrite guard
+    # must not misread '_pb=N' dirs as metadata just because they start
+    # with an underscore)
+    import os
+
+    snap0 = st.snapshots("t")[0]["path"]
+    assert [d for d in os.listdir(snap0) if d.startswith("_pb=")]
     # the poison case: zero rows into a partitioned append
     st.append(df.filter(F.col("doc_id") < 0), "t", partition_by=["_pb"],
               meta={"batch_id": "b2"})
