@@ -119,6 +119,56 @@ def _pack_varbits(hi: np.ndarray, lo: np.ndarray, lengths: np.ndarray) -> bytes:
     m = lengths.shape[0]
     offsets = np.cumsum(lengths) - lengths
 
+    # Fast path (round 7): near-1-bit-per-element streams — section A of
+    # the blocked codec (one control bit per token, plus byte-pad
+    # elements) is by far the largest element count of an encode and
+    # paid ~20 full-width vector ops per element through the generic
+    # 128-bit window path below. When every element is <= 64 bits (its
+    # payload then lives entirely in ``lo``) and the stream averages
+    # <= 2 bits/element, expand to one uint8 per BIT and let packbits
+    # assemble MSB-first — byte-identical output (stream bit j of
+    # element i is bit (len_i-1-j) of lo_i in both paths; packbits pads
+    # the final byte with zeros exactly like the zeroed word arena).
+    max_len = int(lengths.max())
+    if total <= 2 * m and max_len <= 64:
+        elem = np.repeat(np.arange(m), lengths)
+        within = np.arange(total, dtype=np.int64) - offsets[elem]
+        shift = (lengths[elem] - 1 - within).astype(_U64)
+        bits = ((lo[elem] >> shift) & _U64(1)).astype(np.uint8)
+        return np.packbits(bits).tobytes()
+
+    # Lean path (round 7): every payload fits in ``lo`` (len <= 64 means
+    # the written low-k bits never reach ``hi``), so an element spans at
+    # most TWO stream words — word w0 gets lo aligned to bit b0, word
+    # w0+1 gets the spill. Halves the vector-op count and the fresh
+    # large temporaries of the generic 3-word window below (this host
+    # charges heavy cold-page-fault cost per new large allocation);
+    # byte-identical by construction. Covers the blocked codec's window
+    # (12-bit) and meaningful-bits (<= 64) sections.
+    if max_len <= 64:
+        b0 = offsets & 63
+        left = 64 - b0 - lengths  # >= 0: fits in w0, shifted left
+        l1 = np.where(left >= 0, left, 0).astype(_U64)
+        r1 = np.where(left >= 0, 0, -left).astype(_U64)
+        # left < 0: low (-left) bits spill into w0+1; (lo >> r1) keeps
+        # the in-word part (r1 <= 63 since len >= 1)
+        V1 = np.where(left >= 0, lo << l1, lo >> r1)
+        V2 = np.where(left >= 0, _U64(0), lo << (_U64(64) - r1))
+        n_words = (total + 63) >> 6
+        words = _scratch("pv_words", n_words, _U64)
+        words[:] = 0
+        w0 = offsets >> 6
+        for delta, V in ((0, V1), (1, V2)):
+            idx = w0 + delta
+            ok = (idx < n_words) & (V != 0)
+            idxo = idx[ok]
+            Vo = V[ok]
+            if idxo.shape[0] == 0:
+                continue
+            seg = np.flatnonzero(np.r_[True, idxo[1:] != idxo[:-1]])
+            words[idxo[seg]] |= np.bitwise_or.reduceat(Vo, seg)
+        return words.byteswap().tobytes()[: (total + 7) >> 3]
+
     # Word-level assembly: the stream is big-endian uint64 words; element
     # i's payload, placed at stream bits [off, off+len), is the 128-bit
     # value (hi:lo) shifted left by s = 192 - (off & 63) - len inside a
