@@ -123,6 +123,37 @@ def token_ngrams(tokens_col: str = "tokens", n: int = 3) -> F.Column:
     )
 
 
+def _gram_chain_hash_array(
+    n: int, text_col: str, tokens_col: str | None
+) -> F.Column:
+    """Distinct gram identities as CHAINED xxhash64 over per-word hashes
+    (round 7): each word is hashed once (a short string), then every
+    window identity is the fixed-width fold ``h_0 = xxhash64(wh_0)``,
+    ``h_i = xxhash64(h_{i-1}, wh_i)`` — the exact shape
+    :func:`token_ngrams` already uses for token ids, applied to word
+    hashes. Compared to :func:`_gram_hash_array` this skips the per-gram
+    ``concat_ws`` string materialization and hashes 8-byte longs instead
+    of ~n-word strings, at identical downstream semantics: any INJECTIVE
+    gram identity preserves every gram equivalence class, hence every
+    intersection/union count, hence all pairs and jaccard values (the
+    same hash-vs-string equivalence argument the string-hash path makes;
+    chain collisions are the same ~|grams|^2/2^64 class). ONLY for
+    consumers where the gram identity never leaves the query (exact
+    jaccard); MinHash keeps the string-hash grams — its signatures are
+    functions of the hash VALUES, spec-locked by the scalar oracle."""
+    if tokens_col is not None:
+        return token_ngrams(tokens_col, n)
+    wh = F.transform(F.split(_norm_text(text_col), " "), lambda w: F.xxhash64(w))
+    k = F.size(wh) - F.lit(n - 1)
+    shifted = [F.slice(wh, i + 1, k) for i in range(n)]
+    grams = F.transform(shifted[0], lambda h: F.xxhash64(h))
+    for part in shifted[1:]:
+        grams = F.zip_with(grams, part, lambda a, b: F.xxhash64(a, b))
+    return F.when(k < 1, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
 def _gram_hash_array(
     n: int, text_col: str, tokens_col: str | None
 ) -> F.Column:
@@ -162,7 +193,7 @@ def ngram_jaccard_pairs(
     gram sets 1:1, so every intersection/union size is preserved."""
     grams = ensure_min_splits(docs).select(
         "doc_id",
-        F.explode(_gram_hash_array(n, text_col, tokens_col)).alias("gram"),
+        F.explode(_gram_chain_hash_array(n, text_col, tokens_col)).alias("gram"),
     )
     # ONE groupBy(gram) shuffle builds the posting lists AND the df
     # counts together (round 7, guide §2.3/§2.4): the old shape paid the

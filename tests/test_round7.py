@@ -90,6 +90,44 @@ def test_all_tombstoned_minhash_batch_keeps_index_readable(spark, tmp_path):
     release_operator_caches()
 
 
+def test_or_amplified_lsh_dedups_before_verify(spark):
+    """Round-6 verdict item 5: the T>1 path now dedups candidate pairs
+    BEFORE the cosine. Gate: the T-table pair set must equal the union
+    of the T single-table runs (which verify inline, the old path) —
+    same pairs, same cosine values."""
+    import numpy as np
+
+    from light_curve_spark.operators.similarity import embedding_cosine_pairs_lsh
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # planted near-dup twin of each vector
+        rows.append((1000 + i, [float(x) for x in v + rng.normal(scale=0.01, size=16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    T = 3
+    amp = {
+        (r.id_a, r.id_b, round(r.cosine, 12))
+        for r in embedding_cosine_pairs_lsh(
+            emb, threshold=0.9, n_planes=6, seed=42, n_tables=T
+        ).collect()
+    }
+    single = set()
+    for t in range(T):
+        single |= {
+            (r.id_a, r.id_b, round(r.cosine, 12))
+            for r in embedding_cosine_pairs_lsh(
+                emb, threshold=0.9, n_planes=6, seed=42 + 1000 * t, n_tables=1
+            ).collect()
+        }
+    assert amp == single and amp
+    from light_curve_spark.plans.caching import release_operator_caches
+
+    release_operator_caches()
+
+
 def test_tombstone_documents_accepts_string_ids(spark, tmp_path):
     """ADVICE low: the old ad-hoc int(i) coercion raised on string doc
     ids. Fabricate the minimal edge-persistence precondition state, then
