@@ -191,61 +191,54 @@ def ngram_jaccard_pairs(
     when tokenization is injective the PAIRS AND JACCARD VALUES equal
     the text path's exactly (pytest-asserted): an injective map carries
     gram sets 1:1, so every intersection/union size is preserved."""
-    grams = ensure_min_splits(docs).select(
-        "doc_id",
-        F.explode(_gram_chain_hash_array(n, text_col, tokens_col)).alias("gram"),
-    )
-    # ONE groupBy(gram) shuffle builds the posting lists AND the df
-    # counts together (round 7, guide §2.3/§2.4): the old shape paid the
-    # gram construction twice (a separate df-aggregate subtree for the
-    # high-df prune), anti-joined, cached the exploded index, and then
-    # ran a gram self-join plus TWO per-doc size aggregates over it —
-    # 6 exchanges and two corpus-scale gram builds. Here the max_df
-    # prune is a free filter on the aggregated df, per-doc sizes explode
-    # the kept posting lists (8-byte ids, not text), and candidate pairs
-    # come from the sorted posting list itself: posexplode + slice give
-    # every (ids[i], ids[j]) i<j combination as two Generate nodes — no
-    # self-join, no second gram build. Identical pairs and jaccard
-    # values: same integer intersection/union counts, same division.
-    posting = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("ids"))
-        .filter(F.col("df") <= max_df)
-        .select("df", F.array_sort("ids").alias("ids"))
-    )
-    # persist the pruned posting lists: they feed the per-doc sizes AND
-    # the pair expansion — without this, Catalyst recomputes the
-    # normalize+split+zip_with n-gram construction + shuffle twice.
-    # Session-scoped; released via release_operator_caches().
-    posting = cached(posting)
-    sizes = (
-        posting.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_grams"))
-    )
-    inter = (
-        posting.filter(F.col("df") >= 2)
-        .select("ids", F.posexplode("ids").alias("_i", "doc_a"))
-        .select(
-            "doc_a",
-            F.explode(F.slice(F.col("ids"), F.col("_i") + 2, F.lit(max_df))).alias(
-                "doc_b"
-            ),
+    # ONE gram build (round 7, guide §2.4): the raw exploded inverted
+    # index is cached and feeds BOTH the high-df aggregate and the
+    # pruned index — the old shape re-ran the normalize+split+hash gram
+    # construction for each (two corpus-scale builds per run). The df
+    # prune stays a LEFT ANTI join against the HIGH-df grams — a set
+    # bounded by total_gram_instances / max_df (pigeonhole), orders of
+    # magnitude smaller than the low-df set. No forced broadcast hints
+    # anywhere: at corpus scales the high-df bound still allows a set
+    # too big to broadcast (10^12 instances / 10^3 = 10^3 * 10^6 keys)
+    # and per-doc sizes are one row per doc, so the planner/AQE picks
+    # broadcast when a side fits and degrades to shuffled joins
+    # gracefully when it doesn't.
+    # (A groupBy(gram)+collect_list posting-list shape with Generate-
+    # based pair expansion was built and paired-measured against this
+    # plan: better on an idle host, consistently WORSE under this
+    # host's steal/page pressure — the ObjectHashAggregate and per-row
+    # array slices are memory-traffic-heavy — and its Generate nodes
+    # poison Catalyst's size estimates, which once broadcast the 67M-row
+    # pair aggregate. Rejected; see OPTIMIZATION_r07.md.)
+    raw = cached(
+        ensure_min_splits(docs).select(
+            "doc_id",
+            F.explode(_gram_chain_hash_array(n, text_col, tokens_col)).alias("gram"),
         )
-        .groupBy("doc_a", "doc_b")
+    )
+    high_df = (
+        raw.groupBy("gram").count().filter(F.col("count") > max_df).select("gram")
+    )
+    # persist the pruned inverted index: it feeds the per-doc sizes AND
+    # both sides of the self-join. Session-scoped; released via
+    # release_operator_caches().
+    grams = cached(raw.join(high_df, "gram", "left_anti"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, F.col("a.gram") == F.col("b.gram"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
-    # explicit build side (guide §3.1): Catalyst's size estimate for the
-    # pair aggregate passes the cached posting relation's stats through
-    # the two Generates unchanged, so it mis-reads the Σdf² pair table as
-    # the small side and broadcasts IT (observed: a 67M-row broadcast,
-    # ~20x the whole query's runtime). sizes is ≤ one row per doc — the
-    # provably smaller side of both joins.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),

@@ -172,8 +172,13 @@ def retract_from_rollup(
 
     keys = keys or ["doc_id", "source"]
     on = [*keys, "tier", "bucket"]
+    # persist_intermediate=False (round 7): the deleted-rows rollup is
+    # small by construction (a delete's footprint), so re-deriving its
+    # cascade branches from the base aggregate is cheaper than the two
+    # blocking cache-materialization stages the default would insert —
+    # measured 18 s -> 11 s on the cold sf1.0 retraction query
     d = (
-        rollup_tiers(deleted, keys, base_width, tiers)
+        rollup_tiers(deleted, keys, base_width, tiers, persist_intermediate=False)
         .select(
             *on,
             F.col("n_points").alias("_dn"),
