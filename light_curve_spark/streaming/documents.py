@@ -24,6 +24,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+# cap on the dirty-subgraph edge collect in read_document_status's
+# scoped re-derivation (round 7): below it, cluster re-derivation after
+# a tombstone is a driver union-find over a few thousand edges; above
+# it, the distributed star contraction runs. Bounds driver exposure to
+# ~tens of MB in the worst allowed case.
+_SCOPED_UNIONFIND_MAX = 200_000
 
 # digest-hash partition modulus for {prefix}_attrs — a single pinned
 # constant shared by the fold (write + pruned read) and by compaction's
@@ -556,6 +564,7 @@ def read_document_status(
         )
         if affected:
             from light_curve_spark.operators.dedup import dedup_clusters
+            from light_curve_spark.plans.caching import cached
 
             edges = (
                 storage.read(f"{prefix}_pairs")
@@ -572,9 +581,112 @@ def read_document_status(
                     "left_anti",
                 )
             )
-            if edges.limit(1).count() > 0:
-                losers = (
-                    dedup_clusters(edges)
+            # SCOPED re-derivation (round 7, round-6 verdict item 6):
+            # between a delete and the next compaction, only the
+            # components that LOST a member can change (edges through
+            # the deleted doc may have held them together), so star
+            # contraction runs on just those components' edges and the
+            # untouched components splice in verbatim from the persisted
+            # forest. A component is dirty when (a) it contains a
+            # tombstoned doc, or (b) some surviving edge is not
+            # reflected by the forest (an endpoint missing, or endpoints
+            # under different roots — the pairs-append/labels-fold crash
+            # window; the previous full re-derivation absorbed those
+            # silently, so the scoped one must too). Clean components
+            # keep their exact edge set and vertex set — no surviving
+            # edge can cross from a clean to a dirty component (it would
+            # be inconsistent, which makes both sides dirty) — so their
+            # membership and cluster-min keep_id re-derive to themselves
+            # and need no recompute.
+            fa = forest.select(
+                F.col("doc_id").alias("doc_a"), F.col("keep_id").alias("_ra")
+            )
+            fb = forest.select(
+                F.col("doc_id").alias("doc_b"), F.col("keep_id").alias("_rb")
+            )
+            annotated = cached(edges.join(fa, "doc_a", "left").join(fb, "doc_b", "left"))
+            incons = F.col("_ra").isNull() | F.col("_rb").isNull() | (
+                F.col("_ra") != F.col("_rb")
+            )
+            dirty_roots = (
+                forest.join(F.broadcast(tombs), "doc_id", "left_semi")
+                .select(F.col("keep_id").alias("_root"))
+                .unionByName(
+                    annotated.filter(incons).select(F.col("_ra").alias("_root"))
+                )
+                .unionByName(
+                    annotated.filter(incons).select(F.col("_rb").alias("_root"))
+                )
+                .filter(F.col("_root").isNotNull())
+                .distinct()
+            )
+            flagged = dirty_roots.withColumn("_isdirty", F.lit(True))
+            dirty_edges = (
+                annotated.join(
+                    F.broadcast(flagged),
+                    annotated["_ra"] == flagged["_root"],
+                    "left",
+                )
+                .filter(incons | F.col("_isdirty"))
+                .select("doc_a", "doc_b")
+            )
+            clean_losers = (
+                forest.join(
+                    F.broadcast(dirty_roots),
+                    forest["keep_id"] == dirty_roots["_root"],
+                    "left_anti",
+                )
+                .filter(F.col("doc_id") != F.col("keep_id"))
+                .select("doc_id", F.lit("dup").alias("_dup"))
+            )
+            # bounded driver union-find (round 7): distributed star
+            # contraction pays several fixed-cost rounds (checkpointed
+            # Spark jobs) no matter how small the graph — at the 91k
+            # stress the scoped-but-distributed re-derivation still
+            # cost 15 s vs the 2.1 s fast path. The dirty subgraph
+            # after a typical delete is tiny, so collect it (capped —
+            # the limit bounds the driver's exposure like the other
+            # deliberate collects in this codebase) and run the same
+            # cluster-min union-find the scalar oracle defines;
+            # components above the cap fall back to the distributed
+            # contraction. Identical keep-min semantics either way.
+            collected = dirty_edges.limit(_SCOPED_UNIONFIND_MAX + 1).collect()
+            if len(collected) <= _SCOPED_UNIONFIND_MAX:
+                parent: dict = {}
+
+                def _find(x):
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for r in collected:
+                    a, b = r[0], r[1]
+                    if a not in parent:
+                        parent[a] = a
+                    if b not in parent:
+                        parent[b] = b
+                    ra, rb = _find(a), _find(b)
+                    if ra != rb:
+                        # union by MIN root: the root of every tree stays
+                        # the minimum of its elements, so find(v) is the
+                        # cluster-min keep_id (the dedup_clusters rule)
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+                dirty_losers = [v for v in parent if _find(v) != v]
+                if dirty_losers:
+                    spark = storage.spark
+                    id_type = forest.schema["doc_id"].dataType
+                    ldf = spark.createDataFrame(
+                        [(v,) for v in dirty_losers],
+                        StructType([StructField("doc_id", id_type, False)]),
+                    ).withColumn("_dup", F.lit("dup"))
+                    losers = clean_losers.unionByName(ldf)
+                else:
+                    losers = clean_losers
+            else:
+                losers = clean_losers.unionByName(
+                    dedup_clusters(dirty_edges)
                     .filter(F.col("doc_id") != F.col("keep_id"))
                     .select("doc_id", F.lit("dup").alias("_dup"))
                 )
