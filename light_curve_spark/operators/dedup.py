@@ -223,7 +223,12 @@ def ngram_jaccard_pairs(
     # both sides of the self-join. Session-scoped; released via
     # release_operator_caches().
     grams = cached(raw.join(high_df, "gram", "left_anti"))
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # per-doc sizes are consumed by BOTH join sides below; uncached,
+    # Catalyst plans two independent full aggregates over the pruned
+    # index (each feeding its own BroadcastExchange) — cached, the agg
+    # runs once and both sides read ~one row per doc (paired A/B:
+    # 24-26 s -> 12 s min under contention)
+    sizes = cached(grams.groupBy("doc_id").agg(F.count("*").alias("n_grams")))
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (
